@@ -1,0 +1,55 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices — the "fake cluster" analog of the
+reference's scalar fallback backends (SURVEY.md §4): Pallas kernels run in
+interpret mode, multi-chip sharding runs over a virtual mesh.  Real-TPU tests
+are marked ``tpu`` and skipped here (run them via ``pytest -m tpu`` with
+JAX_PLATFORMS unset).
+"""
+
+import os
+
+# Must be set before jax initializes (conftest imports precede test modules).
+# Force CPU: the ambient environment may point JAX_PLATFORMS at a remote TPU
+# tunnel, which is far too slow for per-op test traffic.  Set
+# TPU_LUTVQ_TEST_TPU=1 to run the ``tpu``-marked tests on real hardware.
+if not os.environ.get("TPU_LUTVQ_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # The axon TPU-tunnel plugin (injected via PYTHONPATH) hangs platform
+    # init even when JAX_PLATFORMS=cpu — drop it from the import path.
+    import sys
+
+    sys.path = [p for p in sys.path if "axon" not in p]
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("TPU_LUTVQ_TEST_TPU"):
+    # A pytest plugin may import jax before this conftest runs, baking the
+    # ambient JAX_PLATFORMS=axon into jax.config — override at runtime too.
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: requires a real TPU (skipped on CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() != "tpu":
+        skip = pytest.mark.skip(reason="requires real TPU")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(42)

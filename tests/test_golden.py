@@ -1,0 +1,140 @@
+"""Golden-model equivalence tests.
+
+The jnp golden model is differentially tested against an independent
+loop-style NumPy oracle implementing the semantics of the reference
+(vq_dataflow_sim/vq.py:269-307): LUT-GEMM must equal dense GEMM on the
+dequantized weight.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.core import golden
+from tpu_lutvq.core.config import VQConfig, aqlm_2x8, pq_ann, rq_ann, tmac
+from tpu_lutvq.core.params import (
+    VQParams,
+    init_vq_params,
+    pack_codes_nibbles,
+    unpack_codes_nibbles,
+)
+
+
+def numpy_oracle_lut_gemm(cfg, params, x):
+    """Loop-style oracle: y[b,j] = sum_{m,n} lut[b,m,n,codes[j,m,n]]."""
+    cb = np.asarray(params.codebook, dtype=np.float64)
+    if cb.shape[0] == 1:
+        cb = np.broadcast_to(cb, (cfg.n_subvec,) + cb.shape[1:])
+    codes = np.asarray(params.codes).astype(np.int64)
+    xb = np.asarray(x, dtype=np.float64)
+    B = xb.shape[0]
+    out = np.zeros((B, params.d_out))
+    for b in range(B):
+        xr = xb[b].reshape(cfg.n_subvec, cfg.d_subvec)
+        lut = np.einsum("mnkd,md->mnk", cb, xr)
+        for j in range(params.d_out):
+            acc = 0.0
+            for m in range(cfg.n_subvec):
+                for n in range(cfg.n_codebook):
+                    acc += lut[m, n, codes[j, m, n]]
+            out[b, j] = acc
+    if params.scales is not None:
+        out = out * np.asarray(params.scales, dtype=np.float64)[None, :]
+    return out
+
+
+SMALL_CFGS = [
+    pytest.param(VQConfig(64, 8, 2, 16), 32, id="aqlm-like-small"),
+    pytest.param(VQConfig(64, 8, 2, 16, shared_codebook=True), 32, id="shared-cb"),
+    pytest.param(pq_ann(d=32, m=4, k=16), 24, id="pq"),
+    pytest.param(rq_ann(d=16, n_codebooks=3, k=16), 24, id="rq"),
+    pytest.param(tmac(32, bits=3, group=4), 32, id="tmac"),
+]
+
+
+@pytest.mark.parametrize("cfg,d_out", SMALL_CFGS)
+def test_lut_gemm_matches_numpy_oracle(rng, cfg, d_out):
+    params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.d_in), dtype=jnp.float32)
+    got = golden.lut_gemm(cfg, params, x)
+    want = numpy_oracle_lut_gemm(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cfg,d_out", SMALL_CFGS)
+def test_lut_gemm_equals_dense_on_dequantized(rng, cfg, d_out):
+    """The load-bearing identity of the whole framework (vq.py:322-328)."""
+    params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.d_in), dtype=jnp.float32)
+    out_lut = golden.lut_gemm(cfg, params, x)
+    out_fp = golden.fp_gemm(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(out_lut), np.asarray(out_fp), rtol=1e-4, atol=1e-4)
+
+
+def test_dequantize_bit_exact(rng):
+    """Dequant is a pure table lookup + fp16 adds: rerunning it must be
+    bit-identical (SURVEY.md §4: assert ==, not allclose)."""
+    cfg = aqlm_2x8(128, group=8)
+    params = init_vq_params(rng, cfg, 64, dtype=jnp.float16)
+    w1 = golden.dequantize(cfg, params, dtype=jnp.float16)
+    w2 = golden.dequantize(cfg, params, dtype=jnp.float16)
+    assert jnp.array_equal(w1, w2)
+    # Single-codebook case: dequant == direct indexing, exactly.
+    cfg1 = VQConfig(64, 8, 1, 16)
+    p1 = init_vq_params(rng, cfg1, 32, dtype=jnp.float16)
+    w = golden.dequantize(cfg1, p1, dtype=jnp.float16)
+    cb = np.asarray(p1.codebook)
+    codes = np.asarray(p1.codes)
+    for j in (0, 7, 31):
+        for m in (0, 3):
+            row = cb[m, 0, codes[j, m, 0]]
+            assert np.array_equal(
+                np.asarray(w[j, m * cfg1.d_subvec : (m + 1) * cfg1.d_subvec]), row
+            )
+
+
+def test_tmac_codebook_structure():
+    """T-MAC codebook rows are ±1 binary expansions × 2^n (vq.py:38-50)."""
+    cfg = tmac(32, bits=3, group=4)
+    params = init_vq_params(jax.random.PRNGKey(0), cfg, 16)
+    cb = np.asarray(params.codebook, dtype=np.float32)
+    assert cb.shape == (8, 3, 16, 4)
+    for n in range(3):
+        vals = np.unique(np.abs(cb[:, n]))
+        assert set(vals.tolist()) == {float(2**n)}
+    # entry k encodes binary expansion of k: bit 0 is dim 0
+    assert np.array_equal(cb[0, 0, 0], [-1, -1, -1, -1])
+    assert np.array_equal(cb[0, 0, 5], [1, -1, 1, -1])
+
+
+def test_tmac_gemm_is_integer_valued(rng):
+    """With ±1·2^n codebooks and integer x, LUT-GEMM output is integral —
+    bit-serial decomposition of an int-weight matmul (vq.py:56-62)."""
+    cfg = tmac(32, bits=2, group=4)
+    params = init_vq_params(rng, cfg, 16)
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(-3, 4, size=(2, 32)), dtype=jnp.float32
+    )
+    out = golden.lut_gemm(cfg, params, x)
+    np.testing.assert_allclose(out, np.round(np.asarray(out)), atol=1e-5)
+
+
+def test_nibble_pack_roundtrip(rng):
+    codes = jax.random.randint(rng, (7, 16), 0, 16, dtype=jnp.int32).astype(jnp.uint8)
+    packed = pack_codes_nibbles(codes)
+    assert packed.shape == (7, 8)
+    out = unpack_codes_nibbles(packed)
+    assert jnp.array_equal(out, codes)
+
+
+def test_config_derived_geometry():
+    cfg = aqlm_2x8(4096, group=8)
+    assert cfg.d_subvec == 8
+    assert cfg.n_groups == 1024
+    assert cfg.index_bits == 8
+    assert cfg.bits_per_weight == 2.0
+    assert cfg.codes_bytes(4096) == 4096 * 1024
+    cfg16 = VQConfig(4096, 256, 2, 256)  # the reference's AQLM_GEMV shape
+    assert cfg16.codes_bytes(4096) == 2 * 1024 * 1024  # 2 MB, dataflow_sim.csv:23
+    assert cfg16.codebook_bytes(2) == 4 * 1024 * 1024  # 4 MB

@@ -1,0 +1,35 @@
+"""tpu-lutvq: a TPU-native inference framework for LUT-based vector-quantized LLMs.
+
+Re-expresses the capability surface of the RVV-LUT-VQ research stack
+(NumPy golden model + dataflow simulator, SIMD LUT-GEMM kernels, QuickerADC
+PQ search, AQLM layer benchmarks) as an idiomatic JAX / XLA / Pallas / pjit
+framework:
+
+- ``tpu_lutvq.core``     — VQ<D,M,N,K> semantics: configs, params, golden model
+                           (reference: vq_dataflow_sim/vq.py)
+- ``tpu_lutvq.kernels``  — Pallas fused LUT-construction + lookup-accumulate
+                           kernels (reference: benchmark/kernel/{simd_lut,
+                           bs_lut_gemm,faiss-simd})
+- ``tpu_lutvq.dataflow`` — analytical HBM/VMEM traffic + roofline model
+                           (reference: vq_dataflow_sim/sim_dataflow.py)
+- ``tpu_lutvq.models``   — AQLM QuantizedLinear, Llama decoder, INT8 KV cache
+                           (reference: benchmark/kernel/rq_lut)
+- ``tpu_lutvq.dist``     — device mesh, TP sharding, overlapped collectives
+- ``tpu_lutvq.runtime``  — checkpoint loading, decode loop, continuous batching
+- ``tpu_lutvq.ann``      — PQ/RQ ANN search engine (reference:
+                           benchmark/kernel/faiss-simd/VecProductQuantizer.h)
+- ``tpu_lutvq.bench``    — kernel/layer/e2e benchmark harnesses
+"""
+
+from tpu_lutvq.core.config import (  # noqa: F401
+    VQConfig,
+    aqlm_2x8,
+    aqlm_1x16,
+    pq_ann,
+    rq_ann,
+    tmac,
+)
+from tpu_lutvq.core.params import VQParams, init_vq_params  # noqa: F401
+from tpu_lutvq.core import golden  # noqa: F401
+
+__version__ = "0.1.0"

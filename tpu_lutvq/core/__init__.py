@@ -1,0 +1,9 @@
+from tpu_lutvq.core.config import (  # noqa: F401
+    VQConfig,
+    aqlm_2x8,
+    aqlm_1x16,
+    pq_ann,
+    rq_ann,
+    tmac,
+)
+from tpu_lutvq.core.params import VQParams, init_vq_params  # noqa: F401

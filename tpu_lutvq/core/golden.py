@@ -1,0 +1,84 @@
+"""Pure-JAX golden model for LUT-VQ GEMM.
+
+These functions are the semantic definition of every kernel in the framework:
+vectorized jnp re-expressions of the reference's NumPy triple loops
+(vq_dataflow_sim/vq.py:269-307).  They are intentionally written for clarity,
+not speed — the Pallas kernels in ``tpu_lutvq.kernels`` are differentially
+tested against them (the reference's golden-model discipline, vq.py:322-328).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import VQParams, broadcast_codebook
+
+
+def dequantize(cfg: VQConfig, params: VQParams, dtype=jnp.float32) -> jax.Array:
+    """Reconstruct the dense weight ``W (d_out, d_in)`` from codes + codebooks.
+
+    ``W[j, m·d:(m+1)·d] = Σ_n codebook[m, n, codes[j,m,n], :]``
+    (reference: vq.py:269-278).  Dequantization is a pure table lookup, so at
+    matching dtype it is bit-exact — tests assert ``==`` not ``allclose``.
+    """
+    cb = broadcast_codebook(cfg, params.codebook)  # (M, N, K, d)
+    codes = params.codes.astype(jnp.int32)  # (O, M, N)
+    m_idx = jnp.arange(cfg.n_subvec)[None, :, None]
+    n_idx = jnp.arange(cfg.n_codebook)[None, None, :]
+    gathered = cb[m_idx, n_idx, codes]  # (O, M, N, d)
+    w = gathered.astype(dtype).sum(axis=2)  # (O, M, d)
+    w = w.reshape(params.d_out, cfg.d_in)
+    if params.scales is not None:
+        w = w * params.scales.astype(dtype)[:, None]
+    return w
+
+
+def compute_lut(cfg: VQConfig, codebook: jax.Array, x: jax.Array) -> jax.Array:
+    """Per-input-vector lookup table.
+
+    ``lut[b, m, n, k] = Σ_d codebook[m, n, k, d] · x[b, m·d+d]``
+    (reference: vq.py:280-285).  This is the MXU phase: a batched
+    ``(N·K, d) × (d, B)`` contraction per subvector.
+
+    x: ``(B, d_in)`` → returns ``(B, M, N, K)`` float32.
+    """
+    cb = broadcast_codebook(cfg, codebook).astype(jnp.float32)
+    xr = x.reshape(x.shape[0], cfg.n_subvec, cfg.d_subvec).astype(jnp.float32)
+    return jnp.einsum("mnkd,bmd->bmnk", cb, xr)
+
+
+def lut_gemm(
+    cfg: VQConfig,
+    params: VQParams,
+    x: jax.Array,
+    out_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """LUT-based GEMM: ``y[b, j] = Σ_m Σ_n lut[b, m, n, codes[j,m,n]]``
+    (reference: vq.py:287-302 — the hot loop the whole project accelerates).
+
+    x: ``(B, d_in)`` → ``(B, d_out)`` float32.
+    """
+    lut = compute_lut(cfg, params.codebook, x)  # (B, M, N, K)
+    lut_flat = lut.reshape(x.shape[0], cfg.n_groups, cfg.n_cluster)
+    codes_gt = params.codes.reshape(params.d_out, cfg.n_groups).T.astype(jnp.int32)
+
+    def one_batch(lut_b: jax.Array) -> jax.Array:  # (G, K)
+        picked = jnp.take_along_axis(lut_b, codes_gt, axis=1)  # (G, O)
+        return picked.sum(axis=0)
+
+    out = jax.vmap(one_batch)(lut_flat)  # (B, O)
+    if params.scales is not None:
+        out = out * params.scales.astype(out.dtype)[None, :]
+    if out_scale is not None:
+        out = out * out_scale.reshape(1, params.d_out)
+    return out
+
+
+def fp_gemm(cfg: VQConfig, params: VQParams, x: jax.Array) -> jax.Array:
+    """Dense golden GEMM on the dequantized weight (reference: vq.py:304-307)."""
+    w = dequantize(cfg, params)
+    return x.astype(jnp.float32) @ w.T

@@ -1,0 +1,119 @@
+"""VQ parameter pytrees: codebooks, codes, scales.
+
+Mirrors the reference's parameter initialization (vq_dataflow_sim/vq.py:38-66):
+random Gaussian codebooks + uniform codes for generic VQ, and the T-MAC
+bit-serial construction (codebook rows are all ±1 sign patterns scaled by
+2^n per codebook) for ``vq_type="tmac"``.  All randomness is seeded through
+``jax.random`` keys (the reference seeds NumPy globally, vq.py:24).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lutvq.core.config import VQConfig
+
+
+def codes_dtype(cfg: VQConfig):
+    """Narrowest jnp integer dtype that stores indices in [0, K)."""
+    if cfg.n_cluster <= 256:
+        return jnp.uint8
+    if cfg.n_cluster <= 65536:
+        return jnp.uint16
+    return jnp.int32
+
+
+class VQParams(NamedTuple):
+    """Quantized weight for one linear layer.
+
+    codebook: ``(M_cb, N, K, d)`` float (M_cb=1 when shared across subvectors)
+    codes:    ``(d_out, M, N)`` unsigned integer indices
+    scales:   optional ``(d_out,)`` per-output-channel scale
+              (reference: vq.py:300-301; AQLM per-row ``scales``)
+    """
+
+    codebook: jax.Array
+    codes: jax.Array
+    scales: Optional[jax.Array] = None
+
+    @property
+    def d_out(self) -> int:
+        return self.codes.shape[0]
+
+
+def tmac_codebook(cfg: VQConfig, dtype=jnp.float16) -> jax.Array:
+    """Bit-serial codebook: entry k of codebook n is the ±1 binary expansion of
+    k over d_subvec dims, scaled by 2^n (reference: vq.py:38-50)."""
+    k_ids = np.arange(cfg.n_cluster)[:, None]
+    bit_ids = np.arange(cfg.d_subvec)[None, :]
+    base = ((k_ids >> bit_ids) & 1) * 2 - 1  # (K, d) in {-1, +1}
+    cb = np.broadcast_to(
+        base[None, None], (cfg.n_subvec, cfg.n_codebook, cfg.n_cluster, cfg.d_subvec)
+    ).astype(np.float32)
+    scaling = (2.0 ** np.arange(cfg.n_codebook)).reshape(1, -1, 1, 1)
+    return jnp.asarray(cb * scaling, dtype=dtype)
+
+
+def init_vq_params(
+    key: jax.Array,
+    cfg: VQConfig,
+    d_out: int,
+    dtype=jnp.float16,
+    with_scales: bool = False,
+) -> VQParams:
+    """Random VQ parameters (the reference's synthetic-fixture path, vq.py:38-66)."""
+    k_cb, k_cw, k_sc = jax.random.split(key, 3)
+    m_cb = 1 if cfg.shared_codebook else cfg.n_subvec
+    if cfg.vq_type == "tmac":
+        codebook = tmac_codebook(cfg, dtype)
+        if cfg.shared_codebook:
+            codebook = codebook[:1]
+    else:
+        codebook = jax.random.normal(
+            k_cb, (m_cb, cfg.n_codebook, cfg.n_cluster, cfg.d_subvec), dtype=jnp.float32
+        ).astype(dtype)
+    codes = jax.random.randint(
+        k_cw,
+        (d_out, cfg.n_subvec, cfg.n_codebook),
+        0,
+        cfg.n_cluster,
+        dtype=jnp.int32,
+    ).astype(codes_dtype(cfg))
+    scales = None
+    if with_scales:
+        scales = (
+            1.0 + 0.1 * jax.random.normal(k_sc, (d_out,), dtype=jnp.float32)
+        ).astype(dtype)
+    return VQParams(codebook=codebook, codes=codes, scales=scales)
+
+
+def broadcast_codebook(cfg: VQConfig, codebook: jax.Array) -> jax.Array:
+    """Expand a shared ``(1, N, K, d)`` codebook to ``(M, N, K, d)`` (view-level)."""
+    if codebook.shape[0] == cfg.n_subvec:
+        return codebook
+    return jnp.broadcast_to(
+        codebook, (cfg.n_subvec,) + codebook.shape[1:]
+    )
+
+
+def pack_codes_nibbles(codes: jax.Array) -> jax.Array:
+    """Pack 4-bit codes pairwise along the last axis into uint8
+    (the T-MAC storage layout, reference: vq.py:62, lut_ctor.cc nibble layout).
+
+    codes: (..., 2*L) values in [0, 16) → (..., L) uint8 with even index in the
+    low nibble.
+    """
+    lo = codes[..., 0::2].astype(jnp.uint8)
+    hi = codes[..., 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_codes_nibbles(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_codes_nibbles`."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)

@@ -1,0 +1,55 @@
+"""Compiled-kernel check + timing on real TPU at Llama-2 7B gate_proj shape."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+import sys; sys.path.insert(0, "/root/repo")
+from tpu_lutvq.core import golden
+from tpu_lutvq.core.config import aqlm_2x8
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.kernels import lut_gemv, dequant_matmul, pack_params
+
+def timed_scalar(f, *args, n=64):
+    @jax.jit
+    def rep(*a):
+        def body(i, acc):
+            out = f(*a)
+            return acc + jnp.sum(out[:1, :1])
+        return jax.lax.fori_loop(0, n, body, 0.0)
+    float(rep(*args))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); float(rep(*args)); best = min(best, time.perf_counter() - t0)
+    # subtract 1-rep baseline
+    @jax.jit
+    def rep1(*a):
+        return jnp.sum(f(*a)[:1, :1])
+    float(rep1(*args))
+    t1 = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); float(rep1(*args)); t1 = min(t1, time.perf_counter() - t0)
+    return (best - t1) / (n - 1)
+
+d_in, d_out = 4096, 11008
+cfg = aqlm_2x8(d_in, group=8)   # G=1024, K=256
+params = init_vq_params(jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32, with_scales=True)
+packed = pack_params(cfg, params)
+codes_mb = packed.codes_t.size / 2**20
+
+for B in (1, 4):
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, d_in), dtype=jnp.float32)
+    y = jax.jit(lambda x: lut_gemv(cfg, packed, x))(x)
+    want = golden.lut_gemm(cfg, params, x)
+    err = float(jnp.max(jnp.abs(y - want) / (jnp.max(jnp.abs(want)))))
+    dt = timed_scalar(lambda x: lut_gemv(cfg, packed, x), x)
+    floor = packed.codes_t.size / 819e9
+    print(f"lut_gemv   B={B}: {dt*1e6:8.1f} us  rel-err={err:.2e}  codes {codes_mb:.1f}MB  "
+          f"BW={packed.codes_t.size/dt/1e9:6.1f} GB/s  floor={floor*1e6:.1f}us  {floor/dt*100:.0f}% roofline")
+
+for B in (4, 32, 128):
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, d_in), dtype=jnp.float32)
+    y = jax.jit(lambda x: dequant_matmul(cfg, packed, x))(x)
+    want = golden.fp_gemm(cfg, params, x)
+    err = float(jnp.max(jnp.abs(y - want)) / float(jnp.max(jnp.abs(want))))
+    dt = timed_scalar(lambda x: dequant_matmul(cfg, packed, x), x, n=32)
+    dense_flops = 2 * B * d_in * d_out
+    print(f"dequant_mm B={B}: {dt*1e6:8.1f} us  rel-err={err:.2e}  "
+          f"eff-TFLOPs={dense_flops/dt/1e12:5.1f}  BW={packed.codes_t.size/dt/1e9:6.1f} GB/s")

@@ -1,0 +1,24 @@
+import jax, jax.numpy as jnp, numpy as np
+import sys; sys.path.insert(0, "/root/repo")
+from exp.timing import timed
+from tpu_lutvq.core import golden
+from tpu_lutvq.core.config import aqlm_2x8
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.kernels import lut_gemv, dequant_matmul, pack_params
+
+d_in, d_out = 4096, 11008
+cfg = aqlm_2x8(d_in, group=8)
+params = init_vq_params(jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32, with_scales=True)
+packed = pack_params(cfg, params)
+floor_us = packed.codes_t.size / 819e9 * 1e6
+
+for B in (1, 4, 8):
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, d_in), dtype=jnp.float32)
+    dt = timed(lambda x: lut_gemv(cfg, packed, x), x, n=128)
+    print(f"lut_gemv   B={B}: {dt*1e6:8.1f} us  BW={packed.codes_t.size/dt/1e9:6.1f} GB/s  "
+          f"{floor_us/dt/1e6*100:.0f}% of codes-roofline")
+for B in (8, 32, 128, 512):
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, d_in), dtype=jnp.float32)
+    dt = timed(lambda x: dequant_matmul(cfg, packed, x), x, n=64)
+    print(f"dequant_mm B={B}: {dt*1e6:8.1f} us  eff-TFLOPs={2*B*d_in*d_out/dt/1e12:6.1f}  "
+          f"per-tok={dt/B*1e6:6.2f} us")

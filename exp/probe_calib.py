@@ -1,0 +1,33 @@
+"""Calibrate: measure known-roofline ops to sanity-check timing through axon."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+
+def chain_bench(fn, x, iters=20):
+    y = jax.block_until_ready(fn(x, 0.0))
+    @jax.jit
+    def many(x):
+        def body(i, carry):
+            acc, t = carry
+            out = fn(x, t)
+            return (acc + out, t + out.ravel()[0] * 1e-30)
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.zeros_like(y), 0.0))
+        return acc
+    jax.block_until_ready(many(x))
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(x))
+    return (time.perf_counter() - t0) / iters
+
+if __name__ == "__main__":
+    # 1. HBM-bound: reduce 256 MB f32
+    x = jnp.ones((8192, 8192), jnp.float32)
+    dt = chain_bench(lambda x, t: jnp.sum(x, axis=0, keepdims=True) + t, x)
+    print(f"reduce 256MB: {dt*1e3:8.3f} ms  -> {x.size*4/dt/1e9:7.1f} GB/s")
+    # 2. MXU-bound: 4096^3 bf16 matmul (137 GFLOP)
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    dt = chain_bench(lambda a, t: (a @ a).astype(jnp.float32)[:1, :1] + t, a)
+    print(f"matmul 4096^3: {dt*1e3:8.3f} ms -> {2*4096**3/dt/1e12:7.1f} TFLOP/s")
+    # 3. HBM-bound uint8 sum at the two probe shapes
+    for d_out in (8192, 28672):
+        c = jnp.ones((1024, d_out), jnp.uint8)
+        dt = chain_bench(lambda c, t: jnp.sum(c.astype(jnp.float32), axis=0, keepdims=True) + t, c)
+        print(f"sum u8 (1024,{d_out}): {dt*1e6:8.1f} us -> {c.size/dt/1e9:7.1f} GB/s")

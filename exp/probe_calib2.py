@@ -1,0 +1,33 @@
+"""Calibrate 2: distinct inputs per iteration, single dispatch, ms scale."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+
+def bench_multi(build_fn, inputs, label, bytes_per_call, flops_per_call=0):
+    f = jax.jit(build_fn)
+    r = jax.block_until_ready(f(inputs))   # compile
+    t0 = time.perf_counter(); jax.block_until_ready(f(inputs)); dt = time.perf_counter() - t0
+    n = len(inputs)
+    per = dt / n
+    msg = f"{label:28s} {per*1e6:10.1f} us/call"
+    if bytes_per_call: msg += f"  {bytes_per_call/per/1e9:8.1f} GB/s"
+    if flops_per_call: msg += f"  {flops_per_call/per/1e12:6.1f} TFLOP/s"
+    print(msg)
+
+if __name__ == "__main__":
+    # dispatch overhead
+    one = jnp.float32(1.0)
+    f = jax.jit(lambda x: x + 1)
+    jax.block_until_ready(f(one))
+    t0 = time.perf_counter()
+    for _ in range(10): jax.block_until_ready(f(one))
+    print(f"dispatch overhead: {(time.perf_counter()-t0)/10*1e6:.0f} us")
+
+    rng = np.random.RandomState(0)
+    N = 8
+    # HBM: sum 8 distinct 256MB arrays inside one jit
+    xs = [jnp.asarray(rng.rand(4096, 8192), jnp.float32) for _ in range(N)]  # 128MB each
+    bench_multi(lambda xs: sum(jnp.sum(x) for x in xs), xs, "reduce 128MB x8", 4096*8192*4)
+    # MXU: 8 distinct matmuls, full output reduced
+    ms = [jnp.asarray(rng.rand(4096, 4096), jnp.bfloat16) for _ in range(N)]
+    bench_multi(lambda ms: sum(jnp.sum((m @ m).astype(jnp.float32)) for m in ms), ms,
+                "matmul 4096^3 x8", 3*4096*4096*2, 2*4096**3)

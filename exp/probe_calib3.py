@@ -1,0 +1,22 @@
+"""Calibrate 3: chained matmuls + host transfer to defeat async returns."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+
+if __name__ == "__main__":
+    rng = np.random.RandomState(0)
+    m0 = jnp.asarray(rng.rand(4096, 4096) * 0.01, jnp.bfloat16)
+
+    @jax.jit
+    def chain(m):
+        def body(i, m):
+            m = m @ m
+            return m / (1e-8 + jnp.max(jnp.abs(m)))  # keep finite, dependency-carried
+        return jax.lax.fori_loop(0, 32, body, m)
+
+    r = jax.block_until_ready(chain(m0))  # compile
+    t0 = time.perf_counter(); r = jax.block_until_ready(chain(m0)); t1 = time.perf_counter()
+    v = np.asarray(r[:2, :2]); t2 = time.perf_counter()
+    flops = 32 * 2 * 4096**3
+    print(f"block_until_ready: {(t1-t0)*1e3:9.2f} ms -> {flops/(t1-t0)/1e12:7.1f} TFLOP/s")
+    print(f"+host transfer:    {(t2-t0)*1e3:9.2f} ms -> {flops/(t2-t0)/1e12:7.1f} TFLOP/s")
+    print("value sample:", v[0])

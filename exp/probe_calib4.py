@@ -1,0 +1,21 @@
+import time
+import jax, jax.numpy as jnp, numpy as np
+
+rng = np.random.RandomState(0)
+m = jnp.asarray(rng.rand(4096, 4096) * 0.01, jnp.bfloat16)
+
+@jax.jit
+def mm1(m):  # one matmul, scalar result forces full compute
+    return jnp.sum((m @ m).astype(jnp.float32))
+
+@jax.jit
+def mm8(m):  # eight chained matmuls
+    x = m
+    for _ in range(8):
+        x = (x @ m)
+    return jnp.sum(x.astype(jnp.float32))
+
+for name, f, nmm in [("mm1", mm1, 1), ("mm8", mm8, 8)]:
+    float(f(m))  # compile + run
+    t0 = time.perf_counter(); v = float(f(m)); dt = time.perf_counter() - t0
+    print(f"{name}: {dt*1e3:9.2f} ms  -> {nmm*2*4096**3/dt/1e12:7.2f} TFLOP/s  (v={v:.3g})")

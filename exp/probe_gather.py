@@ -1,0 +1,145 @@
+"""Probe: which in-kernel lookup primitives does Mosaic support on this TPU,
+and how fast are they vs the HBM floor?
+
+Strategies probed for the lookup-accumulate loop
+``y[j] = sum_g lut[g, codes[j, g]]`` (G groups, K=256 clusters):
+
+A. lane-gather: lut rows (G, 128)x2 halves, jnp.take_along_axis along lanes
+B. one-hot MXU: per-tile onehot(codes) @ lut  (predicted VPU-compare bound)
+C. XLA take_along_axis outside Pallas (baseline)
+
+Run on real TPU:  python exp/probe_gather.py
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G = 1024  # M*N groups (AQLM 2x8 on D=4096, g=8)
+K = 256
+TJ = 256  # output tile
+
+
+def make_inputs(d_out, seed=0):
+    rng = np.random.RandomState(seed)
+    lut = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+    codes = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+    return lut, codes
+
+
+# --- Strategy A: lane-gather via take_along_axis ---
+
+def _gather_kernel(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)  # (G, TJ)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    hi = jnp.take_along_axis(lut_ref[:, 128:], idx & 127, axis=1)
+    sel = jnp.where(idx < 128, lo, hi)  # (G, TJ)
+    out_ref[:] = jnp.sum(sel, axis=0, keepdims=True)
+
+
+def gather_gemv(lut, codes):
+    d_out = codes.shape[1]
+    return pl.pallas_call(
+        _gather_kernel,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut, codes)
+
+
+# --- Strategy B: one-hot matmul on MXU ---
+
+def _onehot_kernel(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)  # (G, TJ)
+    # accumulate over G in chunks to bound the onehot tensor
+    CH = 128
+    acc = jnp.zeros((1, TJ), jnp.float32)
+
+    def body(c, acc):
+        sl = idx[pl.ds(c * CH, CH), :]  # (CH, TJ)
+        onehot = (sl[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2))
+        oh = onehot.astype(jnp.float32)  # (CH, TJ, K)
+        lutc = lut_ref[pl.ds(c * CH, CH), :]  # (CH, K)
+        part = jax.lax.dot_general(
+            oh, lutc,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (CH, TJ)
+        return acc + jnp.sum(part, axis=0, keepdims=True)
+
+    acc = jax.lax.fori_loop(0, G // CH, body, acc)
+    out_ref[:] = acc
+
+
+def onehot_gemv(lut, codes):
+    d_out = codes.shape[1]
+    return pl.pallas_call(
+        _onehot_kernel,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut, codes)
+
+
+# --- Strategy C: XLA-level gather ---
+
+@jax.jit
+def xla_gemv(lut, codes):
+    picked = jnp.take_along_axis(lut, codes.astype(jnp.int32), axis=1)  # (G, O)
+    return picked.sum(axis=0, keepdims=True)
+
+
+def ref_gemv(lut, codes):
+    lut_np, codes_np = np.asarray(lut), np.asarray(codes).astype(np.int64)
+    return np.take_along_axis(lut_np, codes_np, axis=1).sum(axis=0, keepdims=True)
+
+
+def bench(fn, lut, codes, iters=50):
+    y = jax.block_until_ready(fn(lut, codes))
+    # timing loop folded into one dispatch to hide tunnel latency
+    @jax.jit
+    def many(lut, codes):
+        def body(i, acc):
+            return acc + fn(lut, codes)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(y))
+    jax.block_until_ready(many(lut, codes))
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(lut, codes))
+    dt = (time.perf_counter() - t0) / iters
+    return y, dt
+
+
+def main():
+    d_out = 8192
+    lut, codes = make_inputs(d_out)
+    want = ref_gemv(lut, codes)
+    bytes_moved = codes.size * 1 + lut.size * 4  # codes uint8 + lut f32 once
+    floor_us = bytes_moved / 819e9 * 1e6
+
+    for name, fn in [("A:lane-gather", gather_gemv), ("B:onehot-mxu", onehot_gemv), ("C:xla", xla_gemv)]:
+        try:
+            y, dt = bench(fn, lut, codes)
+            err = np.abs(np.asarray(y) - want).max()
+            codes_gbps = codes.size / dt / 1e9
+            print(f"{name:15s} {dt*1e6:9.1f} us  max|err|={err:.2e}  "
+                  f"codes-BW={codes_gbps:6.1f} GB/s  (floor {floor_us:.1f} us)")
+        except Exception as e:
+            msg = str(e).split("\n")[0][:160]
+            print(f"{name:15s} FAILED: {type(e).__name__}: {msg}")
+
+
+if __name__ == "__main__":
+    main()

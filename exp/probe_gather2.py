@@ -1,0 +1,60 @@
+"""Probe 2: dynamic_gather with matched shapes (TJ=128), lane + sublane dims."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G, K, TJ = 1024, 256, 128
+
+def make_inputs(d_out, seed=0):
+    rng = np.random.RandomState(seed)
+    lut = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+    codes = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+    return lut, codes
+
+def _gather_kernel(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)          # (G, 128)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    hi = jnp.take_along_axis(lut_ref[:, 128:], idx & 127, axis=1)
+    sel = jnp.where(idx < 128, lo, hi)            # (G, 128)
+    out_ref[:] = jnp.sum(sel, axis=0, keepdims=True)
+
+def gather_gemv(lut, codes):
+    d_out = codes.shape[1]
+    return pl.pallas_call(
+        _gather_kernel,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut, codes)
+
+def ref_gemv(lut, codes):
+    lut_np, codes_np = np.asarray(lut), np.asarray(codes).astype(np.int64)
+    return np.take_along_axis(lut_np, codes_np, axis=1).sum(axis=0, keepdims=True)
+
+def bench(fn, lut, codes, iters=50):
+    y = jax.block_until_ready(fn(lut, codes))
+    @jax.jit
+    def many(lut, codes):
+        def body(i, acc):
+            return acc + fn(lut, codes)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(y))
+    jax.block_until_ready(many(lut, codes))
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(lut, codes))
+    return y, (time.perf_counter() - t0) / iters
+
+if __name__ == "__main__":
+    d_out = 8192
+    lut, codes = make_inputs(d_out)
+    want = ref_gemv(lut, codes)
+    bytes_moved = codes.size + lut.size * 4
+    floor_us = bytes_moved / 819e9 * 1e6
+    y, dt = bench(gather_gemv, lut, codes)
+    err = np.abs(np.asarray(y) - want).max()
+    print(f"lane-gather TJ=128: {dt*1e6:9.1f} us  max|err|={err:.2e}  "
+          f"codes-BW={codes.size/dt/1e9:6.1f} GB/s  (floor {floor_us:.1f} us)")

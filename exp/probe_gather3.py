@@ -1,0 +1,132 @@
+"""Probe 3: variant matrix for dynamic_gather performance."""
+import time, functools
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def bench(fn, *args, iters=20):
+    y = jax.block_until_ready(fn(*args))
+    @jax.jit
+    def many(*a):
+        def body(i, acc):
+            return acc + fn(*a)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(y))
+    jax.block_until_ready(many(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(*args))
+    return y, (time.perf_counter() - t0) / iters
+
+G, K = 1024, 256
+
+def make(d_out, seed=0):
+    rng = np.random.RandomState(seed)
+    lut = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+    codes = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+    return lut, codes
+
+def ref(lut, codes):
+    l, c = np.asarray(lut), np.asarray(codes).astype(np.int64)
+    return np.take_along_axis(l, c, axis=1).sum(axis=0)
+
+# V1: lane-gather, loop 8 sub-tiles inside kernel (grid amortization)
+def v1_kernel(lut_ref, codes_ref, out_ref):
+    lo_t = lut_ref[:, :128]
+    hi_t = lut_ref[:, 128:]
+    for t in range(8):
+        idx = codes_ref[:, t*128:(t+1)*128].astype(jnp.int32)
+        lo = jnp.take_along_axis(lo_t, idx & 127, axis=1)
+        hi = jnp.take_along_axis(hi_t, idx & 127, axis=1)
+        sel = jnp.where(idx < 128, lo, hi)
+        out_ref[0, t*128:(t+1)*128] = jnp.sum(sel, axis=0)
+
+def v1(lut, codes):
+    d_out = codes.shape[1]
+    TJ = 1024
+    return pl.pallas_call(
+        v1_kernel,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut, codes)
+
+# V2: sublane-gather: table (K, 128) per group-chunk, idx (K=256?, ...) needs idx shape == table shape
+# out[s,l] = table[idx[s,l], l]; s = output row (256 per tile), l = group lane (128 per chunk)
+def v2_kernel(lutT_ref, codes_ref, out_ref):
+    # lutT: (K, G) ; codes tile: (TJ=K, G) (TJ outputs) ; out: (TJ, 1)
+    acc = jnp.zeros((K, 1), jnp.float32)
+    for c in range(G // 128):
+        table = lutT_ref[:, c*128:(c+1)*128]            # (256, 128)
+        idx = codes_ref[:, c*128:(c+1)*128].astype(jnp.int32)  # (256, 128)
+        g = jnp.take_along_axis(table, idx, axis=0)     # out[s,l] = table[idx[s,l], l]
+        acc = acc + jnp.sum(g, axis=1, keepdims=True)
+    out_ref[:] = acc
+
+def v2(lutT, codesJ):
+    d_out = codesJ.shape[0]
+    TJ = K  # 256 outputs per tile
+    return pl.pallas_call(
+        v2_kernel,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((K, G), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, G), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TJ, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_out, 1), jnp.float32),
+    )(lutT, codesJ)
+
+# V3: int32 bitcast gather (lane)
+def v3_kernel(lut_ref, codes_ref, out_ref):
+    lo_t = lut_ref[:, :128]
+    hi_t = lut_ref[:, 128:]
+    for t in range(8):
+        idx = codes_ref[:, t*128:(t+1)*128].astype(jnp.int32)
+        lo = jnp.take_along_axis(lo_t, idx & 127, axis=1)
+        hi = jnp.take_along_axis(hi_t, idx & 127, axis=1)
+        sel = jnp.where(idx < 128, lo, hi)
+        out_ref[0, t*128:(t+1)*128] = jnp.sum(sel.view(jnp.float32) if hasattr(sel,'view') else sel, axis=0)
+
+def v3(lut, codes):
+    d_out = codes.shape[1]
+    TJ = 1024
+    lut_i = lut.view(jnp.int32) if hasattr(lut, 'view') else lut
+    def kern(lut_ref, codes_ref, out_ref):
+        lo_t = lut_ref[:, :128]
+        hi_t = lut_ref[:, 128:]
+        for t in range(8):
+            idx = codes_ref[:, t*128:(t+1)*128].astype(jnp.int32)
+            lo = jnp.take_along_axis(lo_t, idx & 127, axis=1)
+            hi = jnp.take_along_axis(hi_t, idx & 127, axis=1)
+            sel = jnp.where(idx < 128, lo, hi)
+            out_ref[0, t*128:(t+1)*128] = jnp.sum(pltpu.bitcast(sel, jnp.float32), axis=0)
+    return pl.pallas_call(
+        kern,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut_i, codes)
+
+if __name__ == "__main__":
+    d_out = 8192
+    lut, codes = make(d_out)
+    want = ref(lut, codes)
+    floor_us = (codes.size + lut.size*4) / 819e9 * 1e6
+    for name, fn, args, get in [
+        ("V1 lane TJ=1024", v1, (lut, codes), lambda y: np.asarray(y)[0]),
+        ("V2 sublane", v2, (jnp.asarray(np.asarray(lut).T.copy()), jnp.asarray(np.asarray(codes).T.copy())), lambda y: np.asarray(y)[:,0]),
+        ("V3 int32-bitcast", v3, (lut, codes), lambda y: np.asarray(y)[0]),
+    ]:
+        try:
+            y, dt = bench(*(fn,)+args)
+            err = np.abs(get(y) - want).max()
+            print(f"{name:18s} {dt*1e6:9.1f} us  max|err|={err:.2e}  codes-BW={codes.size/dt/1e9:6.1f} GB/s (floor {floor_us:.1f} us)")
+        except Exception as e:
+            print(f"{name:18s} FAILED: {type(e).__name__}: {str(e).splitlines()[0][:140]}")

@@ -1,0 +1,70 @@
+"""Probe 4: isolate cost components of the lookup kernel."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def bench(fn, *args, iters=30):
+    y = jax.block_until_ready(fn(*args))
+    @jax.jit
+    def many(*a):
+        def body(i, acc):
+            return acc + fn(*a)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(y))
+    jax.block_until_ready(many(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(*args))
+    return y, (time.perf_counter() - t0) / iters
+
+G, K, TJ = 1024, 256, 128
+
+def pc(kern, lut, codes, d_out):
+    return pl.pallas_call(
+        kern,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut, codes)
+
+def k_baseline(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    out_ref[:] = jnp.sum(idx.astype(jnp.float32), axis=0, keepdims=True) + lut_ref[0,0]
+
+def k_1gather(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    out_ref[:] = jnp.sum(lo, axis=0, keepdims=True)
+
+def k_2gather(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    hi = jnp.take_along_axis(lut_ref[:, 128:], idx & 127, axis=1)
+    out_ref[:] = jnp.sum(jnp.where(idx < 128, lo, hi), axis=0, keepdims=True)
+
+def k_gather_noconv(lut_ref, codes_ref, out_ref):
+    # codes already int32
+    idx = codes_ref[:]
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    out_ref[:] = jnp.sum(lo, axis=0, keepdims=True)
+
+if __name__ == "__main__":
+    d_out = 8192
+    rng = np.random.RandomState(0)
+    lut = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+    codes8 = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+    codes32 = codes8.astype(jnp.int32)
+    for name, kern, codes in [
+        ("baseline (no gather)", k_baseline, codes8),
+        ("1 gather + conv", k_1gather, codes8),
+        ("2 gather + sel", k_2gather, codes8),
+        ("1 gather int32-in", k_gather_noconv, codes32),
+    ]:
+        try:
+            y, dt = bench(lambda l, c: pc(kern, l, c, d_out), lut, codes)
+            print(f"{name:22s} {dt*1e6:9.1f} us")
+        except Exception as e:
+            print(f"{name:22s} FAILED: {type(e).__name__}: {str(e).splitlines()[0][:120]}")

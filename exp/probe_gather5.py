@@ -1,0 +1,60 @@
+"""Probe 5: honest timing — dependency-chained iterations prevent hoisting."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def bench(fn, lut, codes, iters=30):
+    y = jax.block_until_ready(fn(lut, codes))
+    @jax.jit
+    def many(lut, codes):
+        def body(i, carry):
+            acc, l = carry
+            out = fn(l, codes)
+            # chain: next iteration's lut depends on this output -> no hoisting
+            return (acc + out, l + out[0, 0] * 1e-30)
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.zeros_like(y), lut))
+        return acc
+    jax.block_until_ready(many(lut, codes))
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(lut, codes))
+    return y, (time.perf_counter() - t0) / iters
+
+G, K, TJ = 1024, 256, 128
+
+def pc(kern, lut, codes, d_out):
+    return pl.pallas_call(
+        kern,
+        grid=(d_out // TJ,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TJ), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut, codes)
+
+def k_2gather(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    hi = jnp.take_along_axis(lut_ref[:, 128:], idx & 127, axis=1)
+    out_ref[:] = jnp.sum(jnp.where(idx < 128, lo, hi), axis=0, keepdims=True)
+
+def k_baseline(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    out_ref[:] = jnp.sum(idx.astype(jnp.float32), axis=0, keepdims=True) + lut_ref[0, 0]
+
+def ref(lut, codes):
+    l, c = np.asarray(lut), np.asarray(codes).astype(np.int64)
+    return np.take_along_axis(l, c, axis=1).sum(axis=0)
+
+if __name__ == "__main__":
+    rng = np.random.RandomState(0)
+    for d_out in (8192, 28672):
+        lut = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+        codes = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+        floor_us = (codes.size + lut.size * 4) / 819e9 * 1e6
+        for name, kern in [("load-only", k_baseline), ("2gather+sel", k_2gather)]:
+            y, dt = bench(lambda l, c: pc(kern, l, c, d_out), lut, codes)
+            err = np.abs(np.asarray(y)[0] - ref(lut, codes)).max() if "gather" in name else 0
+            print(f"d_out={d_out:6d} {name:12s} {dt*1e6:9.1f} us  BW={codes.size/dt/1e9:6.1f} GB/s  floor={floor_us:.1f} us  err={err:.2e}")

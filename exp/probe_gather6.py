@@ -1,0 +1,68 @@
+"""Probe 6: gather kernel timing with tunnel-proof protocol.
+
+Protocol: run the kernel N times inside one dispatch with a data dependency
+chaining iterations (prevents CSE/hoisting), force a scalar to host (the only
+reliable sync on axon), and report (t_N - t_1) / (N - 1).
+"""
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G, K, TJ = 1024, 256, 128
+
+def pc(kern, lut, codes, d_out, tj=TJ):
+    return pl.pallas_call(
+        kern,
+        grid=(d_out // tj,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+    )(lut, codes)
+
+def k_2gather(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    hi = jnp.take_along_axis(lut_ref[:, 128:], idx & 127, axis=1)
+    out_ref[:] = jnp.sum(jnp.where(idx < 128, lo, hi), axis=0, keepdims=True)
+
+def k_loadonly(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    out_ref[:] = jnp.sum(idx.astype(jnp.float32), axis=0, keepdims=True) + lut_ref[0, 0]
+
+def timed(fn, lut, codes, n):
+    @jax.jit
+    def rep(lut, codes):
+        def body(i, l):
+            out = fn(l, codes)
+            return l + out[0, :1] * 1e-30  # chain lut on output
+        l = jax.lax.fori_loop(0, n, body, lut)
+        return jnp.sum(l[0, :1])
+    float(rep(lut, codes))  # compile + sync
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); float(rep(lut, codes)); best = min(best, time.perf_counter() - t0)
+    return best
+
+def measure(kern, lut, codes, d_out, label):
+    t1 = timed(lambda l, c: pc(kern, l, c, d_out), lut, codes, 1)
+    tN = timed(lambda l, c: pc(kern, l, c, d_out), lut, codes, 257)
+    per = (tN - t1) / 256
+    bw = codes.size / per / 1e9
+    floor_us = (codes.size + lut.size * 4) / 819e9 * 1e6
+    print(f"{label:24s} {per*1e6:8.1f} us/call  codes-BW={bw:7.1f} GB/s  floor={floor_us:.1f} us  ({bw/819*100 if floor_us else 0:.0f}% of HBM)")
+
+if __name__ == "__main__":
+    rng = np.random.RandomState(0)
+    d_out = 28672
+    lut = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+    codes = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+    # correctness first
+    y = np.asarray(jax.jit(lambda l, c: pc(k_2gather, l, c, d_out))(lut, codes))
+    want = np.take_along_axis(np.asarray(lut), np.asarray(codes).astype(np.int64), axis=1).sum(axis=0)
+    print("max err:", np.abs(y[0] - want).max())
+    measure(k_loadonly, lut, codes, d_out, "load-only")
+    measure(k_2gather, lut, codes, d_out, "2gather+sel")

@@ -1,0 +1,106 @@
+"""Probe 7: support matrix — wide gather, int8 gather, u8 indices, MXU reduce."""
+import time, traceback
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G, K = 1024, 256
+
+def timed(fn, lut, codes, n):
+    @jax.jit
+    def rep(lut, codes):
+        def body(i, l):
+            out = fn(l, codes)
+            return l + out[:1, :1].astype(l.dtype) * 0  # chain (cheap, prevents CSE via dependency)
+        l = jax.lax.fori_loop(0, n, body, lut)
+        return jnp.sum(l[:1, :1].astype(jnp.float32))
+    float(rep(lut, codes))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); float(rep(lut, codes)); best = min(best, time.perf_counter() - t0)
+    return best
+
+def measure(fn, lut, codes, label, check=None):
+    try:
+        y = np.asarray(jax.jit(fn)(lut, codes))
+        if check is not None:
+            err = np.abs(y.astype(np.float64) - check).max()
+        else:
+            err = float('nan')
+        t1 = timed(fn, lut, codes, 1)
+        tN = timed(fn, lut, codes, 129)
+        per = (tN - t1) / 128
+        print(f"{label:34s} {per*1e6:8.1f} us  codes-BW={codes.size/per/1e9:7.1f} GB/s  err={err:.2e}")
+    except Exception as e:
+        print(f"{label:34s} FAILED: {type(e).__name__}: {str(e).splitlines()[0][:110]}")
+
+rng = np.random.RandomState(0)
+d_out = 28672
+lut_f32 = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+lut_i8 = jnp.asarray(rng.randint(-127, 128, size=(G, K)), dtype=jnp.int8)
+codes_u8 = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+codes_np = np.asarray(codes_u8).astype(np.int64)
+want_f32 = np.take_along_axis(np.asarray(lut_f32), codes_np, axis=1).sum(axis=0)
+want_i8 = np.take_along_axis(np.asarray(lut_i8).astype(np.int64), codes_np, axis=1).sum(axis=0)
+
+def pcall(kern, lut, codes, tj, out_dtype=jnp.float32):
+    return pl.pallas_call(
+        kern,
+        grid=(d_out // tj,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), out_dtype),
+    )(lut, codes)
+
+# T1: single 256-wide gather (cross-vreg lane gather)
+def k_wide(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)  # (G, 256)
+    g = jnp.take_along_axis(lut_ref[:], idx, axis=1)
+    out_ref[:] = jnp.sum(g, axis=0, keepdims=True)
+measure(lambda l, c: pcall(k_wide, l, c, 256), lut_f32, codes_u8, "T1 f32 256-wide gather", want_f32)
+
+# T2: int8 table gather, 128-wide, VPU reduce
+def k_i8(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    hi = jnp.take_along_axis(lut_ref[:, 128:], idx & 127, axis=1)
+    sel = jnp.where(idx < 128, lo, hi)
+    out_ref[:] = jnp.sum(sel.astype(jnp.int32), axis=0, keepdims=True)
+measure(lambda l, c: pcall(k_i8, l, c, 128, jnp.int32), lut_i8, codes_u8, "T2 i8 gather 128w VPU-red", want_i8)
+
+# T3: u8 indices without conversion
+def k_u8idx(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:]  # stays uint8
+    g = jnp.take_along_axis(lut_ref[:], idx, axis=1)
+    out_ref[:] = jnp.sum(g.astype(jnp.int32), axis=0, keepdims=True)
+measure(lambda l, c: pcall(k_u8idx, l, c, 256, jnp.int32), lut_i8, codes_u8, "T3 i8 256w u8-idx", want_i8)
+
+# T4: f32 gather + MXU reduce (ones @ gathered)
+def k_mxured(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    lo = jnp.take_along_axis(lut_ref[:, :128], idx & 127, axis=1)
+    hi = jnp.take_along_axis(lut_ref[:, 128:], idx & 127, axis=1)
+    sel = jnp.where(idx < 128, lo, hi)  # (G, 128)
+    ones = jnp.ones((1, G), jnp.float32)
+    out_ref[:] = jnp.dot(ones, sel, preferred_element_type=jnp.float32)
+measure(lambda l, c: pcall(k_mxured, l, c, 128), lut_f32, codes_u8, "T4 f32 gather MXU-reduce", want_f32)
+
+# T5: i8 gather 256-wide i32-idx + MXU int reduce
+def k_i8mxu(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    g = jnp.take_along_axis(lut_ref[:], idx, axis=1)  # (G,256) i8
+    ones = jnp.ones((1, G), jnp.int8)
+    out_ref[:] = jnp.dot(ones, g, preferred_element_type=jnp.int32)
+measure(lambda l, c: pcall(k_i8mxu, l, c, 256, jnp.int32), lut_i8, codes_u8, "T5 i8 256w MXU-reduce", want_i8)
+
+# T6: bf16 table gather
+lut_bf = lut_f32.astype(jnp.bfloat16)
+want_bf = np.take_along_axis(np.asarray(lut_bf).astype(np.float64), codes_np, axis=1).sum(axis=0)
+def k_bf(lut_ref, codes_ref, out_ref):
+    idx = codes_ref[:].astype(jnp.int32)
+    g = jnp.take_along_axis(lut_ref[:], idx, axis=1)
+    out_ref[:] = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+measure(lambda l, c: pcall(k_bf, l, c, 256), lut_bf, codes_u8, "T6 bf16 256w gather", want_bf)

@@ -1,0 +1,96 @@
+"""Probe 8: DMA ceiling, TJ sweep, MXU precision, small sublane gather."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G, K = 1024, 256
+d_out = 28672
+rng = np.random.RandomState(0)
+lut_f32 = jnp.asarray(rng.randn(G, K), dtype=jnp.float32)
+codes_u8 = jnp.asarray(rng.randint(0, K, size=(G, d_out)), dtype=jnp.uint8)
+codes_np = np.asarray(codes_u8).astype(np.int64)
+want_f32 = np.take_along_axis(np.asarray(lut_f32), codes_np, axis=1).sum(axis=0)
+
+def timed(fn, lut, codes, n):
+    @jax.jit
+    def rep(lut, codes):
+        def body(i, l):
+            out = fn(l, codes)
+            return l + out[:1, :1].astype(l.dtype) * 0
+        l = jax.lax.fori_loop(0, n, body, lut)
+        return jnp.sum(l[:1, :1].astype(jnp.float32))
+    float(rep(lut, codes))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); float(rep(lut, codes)); best = min(best, time.perf_counter() - t0)
+    return best
+
+def measure(fn, lut, codes, label, check=None):
+    try:
+        y = np.asarray(jax.jit(fn)(lut, codes)).astype(np.float64)
+        err = np.abs(y - check).max() if check is not None else float("nan")
+        t1 = timed(fn, lut, codes, 1)
+        tN = timed(fn, lut, codes, 129)
+        per = (tN - t1) / 128
+        print(f"{label:36s} {per*1e6:8.1f} us  BW={codes.size/per/1e9:7.1f} GB/s  err={err:.2e}")
+    except Exception as e:
+        print(f"{label:36s} FAILED: {type(e).__name__}: {str(e).splitlines()[0][:100]}")
+
+def pcall(kern, lut, codes, tj, out_dtype=jnp.float32):
+    return pl.pallas_call(
+        kern,
+        grid=(d_out // tj,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, d_out), out_dtype),
+    )(lut, codes)
+
+# A: DMA+MXU ceiling — no gather, no convert beyond bitcast
+def k_ceiling(lut_ref, codes_ref, out_ref):
+    ci8 = pltpu.bitcast(codes_ref[:], jnp.int8)
+    ones = jnp.ones((1, G), jnp.int8)
+    out_ref[:] = jnp.dot(ones, ci8, preferred_element_type=jnp.int32).astype(jnp.float32) + lut_ref[0, 0]
+for tj in (128, 512, 1024, 2048):
+    measure(lambda l, c, tj=tj: pcall(k_ceiling, l, c, tj), lut_f32, codes_u8, f"A ceiling DMA+i8MXU TJ={tj}")
+
+# B: full kernel, gather in 128-wide slices within larger TJ, MXU reduce HIGHEST
+def mk_full(tj):
+    def k(lut_ref, codes_ref, out_ref):
+        lo_t = lut_ref[:, :128]
+        hi_t = lut_ref[:, 128:]
+        ones = jnp.ones((1, G), jnp.float32)
+        for t in range(tj // 128):
+            idx = codes_ref[:, t*128:(t+1)*128].astype(jnp.int32)
+            lo = jnp.take_along_axis(lo_t, idx & 127, axis=1)
+            hi = jnp.take_along_axis(hi_t, idx & 127, axis=1)
+            sel = jnp.where(idx < 128, lo, hi)
+            out_ref[0, t*128:(t+1)*128] = jax.lax.dot_general(
+                ones, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)[0]
+    return k
+for tj in (128, 512, 1024):
+    measure(lambda l, c, tj=tj: pcall(mk_full(tj), l, c, tj), lut_f32, codes_u8, f"B full gather+MXU TJ={tj}", want_f32)
+
+# C: sublane gather small table (16, 128) — T-MAC K=16 shape
+codes16 = jnp.asarray(rng.randint(0, 16, size=(16, 128)), dtype=jnp.int32)
+table16 = jnp.asarray(rng.randn(16, 128), dtype=jnp.float32)
+def k_sub(t_ref, i_ref, o_ref):
+    o_ref[:] = jnp.take_along_axis(t_ref[:], i_ref[:], axis=0)
+def sub16(t, i):
+    return pl.pallas_call(
+        k_sub,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+    )(t, i)
+try:
+    y = np.asarray(jax.jit(sub16)(table16, codes16))
+    want = np.take_along_axis(np.asarray(table16), np.asarray(codes16), axis=0)
+    print("C sublane gather (16,128):", "OK" if np.allclose(y, want) else "WRONG")
+except Exception as e:
+    print("C sublane gather (16,128): FAILED", str(e).splitlines()[0][:90])

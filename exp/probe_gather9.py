@@ -1,0 +1,56 @@
+"""Probe 9: int8 lane-gather minimal; sublane gather sizes; convert cost."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+rng = np.random.RandomState(0)
+
+def try_compile(label, fn, *args, check=None):
+    try:
+        y = np.asarray(jax.jit(fn)(*args))
+        ok = "OK" if (check is None or np.allclose(y.astype(np.float64), check, atol=1e-3)) else "WRONG"
+        print(f"{label:44s} {ok}")
+        return True
+    except Exception as e:
+        print(f"{label:44s} FAILED {type(e).__name__}: {str(e).splitlines()[0][:80]}")
+        return False
+
+# P1: int8 lane gather, minimal: table (8,128) i8, idx (8,128) i32
+t_i8 = jnp.asarray(rng.randint(-100, 100, (8, 128)), jnp.int8)
+idx = jnp.asarray(rng.randint(0, 128, (8, 128)), jnp.int32)
+def k1(t, i, o):
+    o[:] = jnp.take_along_axis(t[:], i[:], axis=1)
+f1 = lambda t, i: pl.pallas_call(k1, in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]*2,
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int8))(t, i)
+want1 = np.take_along_axis(np.asarray(t_i8), np.asarray(idx), axis=1).astype(np.float64)
+try_compile("P1 i8 lane-gather (8,128)", f1, t_i8, idx, check=want1)
+
+# P1b: bf16 lane gather minimal
+t_bf = jnp.asarray(rng.randn(8, 128), jnp.bfloat16)
+f1b = lambda t, i: pl.pallas_call(k1, in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]*2,
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.bfloat16))(t, i)
+want1b = np.take_along_axis(np.asarray(t_bf).astype(np.float64), np.asarray(idx), axis=1)
+try_compile("P1b bf16 lane-gather (8,128)", f1b, t_bf, idx, check=want1b)
+
+# P2: sublane gather f32 at S=8, 16, 32
+for S in (8, 16, 32):
+    t = jnp.asarray(rng.randn(S, 128), jnp.float32)
+    i = jnp.asarray(rng.randint(0, S, (S, 128)), jnp.int32)
+    def k2(tr, ir, o):
+        o[:] = jnp.take_along_axis(tr[:], ir[:], axis=0)
+    f2 = lambda t, i, S=S: pl.pallas_call(k2, in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]*2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.float32))(t, i)
+    want = np.take_along_axis(np.asarray(t).astype(np.float64), np.asarray(i), axis=0)
+    try_compile(f"P2 f32 sublane-gather ({S},128)", f2, t, i, check=want)
+
+# P3: i32 lane gather at (8,128) — baseline known-good shape smaller than before
+t_i32 = jnp.asarray(rng.randint(-100, 100, (8, 128)), jnp.int32)
+f3 = lambda t, i: pl.pallas_call(k1, in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]*2,
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32))(t, i)
+want3 = np.take_along_axis(np.asarray(t_i32), np.asarray(idx), axis=1).astype(np.float64)
+try_compile("P3 i32 lane-gather (8,128)", f3, t_i32, idx, check=want3)

@@ -1,0 +1,30 @@
+"""Tunnel-proof TPU timing helper (see exp/probe_calib*.py for why).
+
+- block_until_ready doesn't block on the axon platform: sync via scalar fetch.
+- XLA CSEs/hoists loop-invariant calls: chain an input on the output.
+- ~35ms tunnel round-trip: amortize over n in-dispatch reps, subtract 1-rep.
+"""
+import time
+import jax, jax.numpy as jnp
+
+
+def timed(f, x, *args, n=256, repeats=3):
+    """Median time of f(x, *args) with x chained across n in-dispatch reps."""
+    def rep_fn(k):
+        @jax.jit
+        def rep(x, *a):
+            def body(i, carry):
+                acc, xx = carry
+                out = f(xx, *a)
+                s = jnp.sum(out[:1, :1])
+                return (acc + s, xx + s * 1e-30)
+            acc, _ = jax.lax.fori_loop(0, k, body, (0.0, x))
+            return acc
+        return rep
+    repn, rep1 = rep_fn(n), rep_fn(1)
+    float(repn(x, *args)); float(rep1(x, *args))
+    best_n = best_1 = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter(); float(repn(x, *args)); best_n = min(best_n, time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(rep1(x, *args)); best_1 = min(best_1, time.perf_counter() - t0)
+    return (best_n - best_1) / (n - 1)

@@ -1,0 +1,93 @@
+"""Pallas kernel tests — interpret mode on CPU, differential vs the golden
+model (the reference's golden-model discipline, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.core import golden
+from tpu_lutvq.core.config import VQConfig, aqlm_2x8, tmac
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.kernels import (
+    build_lut,
+    dequant_matmul,
+    lut_gemv,
+    pack_params,
+    quantize_lut_int8,
+)
+
+KERNEL_CFGS = [
+    pytest.param(aqlm_2x8(256, group=8), 384, 2, id="aqlm2x8-k256"),
+    pytest.param(VQConfig(256, 32, 2, 128), 384, 3, id="k128-single-gather"),
+    pytest.param(VQConfig(256, 32, 2, 16), 256, 1, id="k16-padded"),
+    pytest.param(aqlm_2x8(256, group=8, shared_codebook=True), 300, 2, id="shared-unaligned-dout"),
+    pytest.param(VQConfig(128, 16, 1, 256), 256, 4, id="single-codebook"),
+]
+
+
+@pytest.mark.parametrize("cfg,d_out,batch", KERNEL_CFGS)
+@pytest.mark.parametrize("with_scales", [False, True])
+def test_lut_gemv_matches_golden(rng, cfg, d_out, batch, with_scales):
+    params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=with_scales)
+    packed = pack_params(cfg, params, block_j=256)
+    x = jax.random.normal(jax.random.PRNGKey(3), (batch, cfg.d_in), dtype=jnp.float32)
+    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
+    want = golden.lut_gemm(cfg, params, x)
+    assert got.shape == (batch, d_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cfg,d_out,batch", KERNEL_CFGS)
+def test_dequant_matmul_matches_golden(rng, cfg, d_out, batch):
+    params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params, block_j=256)
+    x = jax.random.normal(jax.random.PRNGKey(4), (batch, cfg.d_in), dtype=jnp.float32)
+    got = dequant_matmul(cfg, packed, x, block_j=256, interpret=True)
+    want = golden.fp_gemm(cfg, params, x) * (
+        1.0 if params.scales is None else 1.0
+    )
+    # fp_gemm applies scales inside dequantize already
+    assert got.shape == (batch, d_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_lut_gemv_tmac(rng):
+    """T-MAC bit-serial scheme through the same kernel (K=16 padded table)."""
+    cfg = tmac(128, bits=3, group=4)
+    params = init_vq_params(rng, cfg, 256)
+    packed = pack_params(cfg, params, block_j=256)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, cfg.d_in), dtype=jnp.float32)
+    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
+    want = golden.lut_gemm(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_lut_gemv_batch_chunking(rng):
+    """Batches beyond MAX_LUT_BATCH are chunked across kernel launches."""
+    cfg = VQConfig(128, 16, 2, 128)
+    params = init_vq_params(rng, cfg, 128, dtype=jnp.float32)
+    packed = pack_params(cfg, params, block_j=128)
+    x = jax.random.normal(jax.random.PRNGKey(6), (11, cfg.d_in), dtype=jnp.float32)
+    got = lut_gemv(cfg, packed, x, block_j=128, interpret=True)
+    want = golden.lut_gemm(cfg, params, x)
+    assert got.shape == (11, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_build_lut_pads_lanes(rng):
+    cfg = VQConfig(64, 8, 2, 16)
+    params = init_vq_params(rng, cfg, 32, dtype=jnp.float32)
+    x = jax.random.normal(rng, (2, 64), dtype=jnp.float32)
+    lut = build_lut(cfg, params.codebook, x)
+    assert lut.shape == (2, 16, 128)
+    assert bool(jnp.all(lut[:, :, 16:] == 0))
+
+
+def test_quantize_lut_int8_roundtrip(rng):
+    lut = jax.random.normal(rng, (8, 256), dtype=jnp.float32) * 5.0
+    lut_q, scale = quantize_lut_int8(lut)
+    recon = lut_q.astype(jnp.float32) * scale
+    # max quantization error bounded by scale/2 per entry
+    assert float(jnp.max(jnp.abs(recon - lut))) <= float(jnp.max(scale)) * 0.5 + 1e-6
+    assert int(jnp.max(jnp.abs(lut_q.astype(jnp.int32)))) == 127

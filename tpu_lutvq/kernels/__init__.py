@@ -1,0 +1,7 @@
+from tpu_lutvq.kernels.lut_ctor import LANE, build_lut, quantize_lut_int8  # noqa: F401
+from tpu_lutvq.kernels.lut_gemv import (  # noqa: F401
+    PackedVQ,
+    lut_gemv,
+    pack_params,
+)
+from tpu_lutvq.kernels.dequant_mm import dequant_matmul  # noqa: F401

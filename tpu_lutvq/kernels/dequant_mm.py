@@ -1,0 +1,187 @@
+"""Fused dequant + matmul — the batched/prefill kernel.
+
+For batch B ≥ ~4 the per-token gather cost of the LUT kernel dominates, so
+this kernel instead reconstructs weight tiles *in VMEM* from codes+codebooks
+(never spilling the dense weight to HBM — HBM traffic stays at the 2-bit
+codes floor) and feeds the MXU a dense contraction.  This is the TPU analog
+of the reference's "dequantize then F.linear" baseline
+(benchmark/kernel/rq_lut/benchmark_rq_gemm_cpu.py:128-137) — except the
+dequantized tile lives only on-chip.
+
+Structure per 128-output lane-tile:
+1. 2·d lane-gathers reconstruct ``W^T`` words for 128 output rows
+   (table row ``w·G+g`` holds ``codebook[m(g), n(g), :, w]``),
+2. additive codebooks are summed (vq.py:269-278) and the words are written
+   into a ``(d·M, 128)`` VMEM scratch (a column block of ``W^T``),
+3. one fat MXU matmul ``x_perm (B, d·M) @ scratch (d·M, 128)`` produces the
+   output tile in bf16 (serving precision), f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import broadcast_codebook
+from tpu_lutvq.kernels.lut_ctor import LANE
+from tpu_lutvq.kernels.lut_gemv import PackedVQ, _round_up
+
+DEFAULT_BLOCK_J = 512
+MAX_BATCH_TILE = 256
+
+
+def build_gather_tables(cfg: VQConfig, codebook: jax.Array) -> jax.Array:
+    """Expand the codebook into the w-major gather-table layout.
+
+    Returns ``(d_subvec * G_pad, Kp)`` float32 with ``Kp = max(K, 128)``;
+    row ``w·G_pad + (n·M + m)`` holds ``codebook[m, n, :, w]`` (n-major group
+    order, matching ``pack_params``).
+    """
+    cb = broadcast_codebook(cfg, codebook).astype(jnp.float32)  # (M, N, K, d)
+    g_pad = _round_up(cfg.n_groups, 8)
+    t = jnp.transpose(cb, (3, 1, 0, 2))  # (d, N, M, K)
+    t = t.reshape(cfg.d_subvec, cfg.n_groups, cfg.n_cluster)
+    t = jnp.pad(
+        t,
+        (
+            (0, 0),
+            (0, g_pad - cfg.n_groups),
+            (0, max(0, LANE - cfg.n_cluster)),
+        ),
+    )
+    return t.reshape(cfg.d_subvec * g_pad, max(cfg.n_cluster, LANE))
+
+
+def _dequant_mm_kernel(
+    tables_ref,
+    codes_ref,
+    x_ref,
+    scales_ref,
+    out_ref,
+    wt_scratch,
+    *,
+    b,
+    m,
+    n,
+    d,
+    k,
+    g_pad,
+    block_j,
+    has_scales,
+    precision,
+):
+    """One grid step: ``(b, block_j)`` outputs.
+
+    tables_ref: (d*g_pad, Kp) f32  — gather tables, resident
+    codes_ref:  (g_pad, block_j) u8
+    x_ref:      (b, d*m) f32       — activations, column (w·m + mm), resident
+    scales_ref: (1, block_j) f32
+    out_ref:    (b, block_j) f32
+    wt_scratch: (d*m, LANE) f32    — one W^T column block
+    """
+    two_gather = k > LANE
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
+        if two_gather:
+            idx_lo = idx & (LANE - 1)
+            is_lo = idx < LANE
+        for w in range(d):
+            table = tables_ref[w * g_pad : (w + 1) * g_pad, :]
+            if two_gather:
+                lo = jnp.take_along_axis(table[:, :LANE], idx_lo, axis=1)
+                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_lo, axis=1)
+                sel = jnp.where(is_lo, lo, hi)
+            else:
+                sel = jnp.take_along_axis(table[:, :LANE], idx, axis=1)
+            # sum additive codebooks: contiguous sublane blocks (n-major order)
+            gw = sel[:m, :]
+            for nn in range(1, n):
+                gw = gw + sel[nn * m : (nn + 1) * m, :]
+            wt_scratch[w * m : (w + 1) * m, :] = gw
+        acc = jax.lax.dot_general(
+            x_ref[:],
+            wt_scratch[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (b, 128)
+        if has_scales:
+            acc = acc * scales_ref[:, t * LANE : (t + 1) * LANE]
+        out_ref[:, t * LANE : (t + 1) * LANE] = acc
+
+
+def dequant_matmul(
+    cfg: VQConfig,
+    packed: PackedVQ,
+    x: jax.Array,
+    *,
+    block_j: int = DEFAULT_BLOCK_J,
+    precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched fused dequant-matmul: ``(B, d_in) → (B, d_out)`` float32.
+
+    Weight tiles are reconstructed on-chip and consumed immediately by the
+    MXU; HBM reads stay at codes + activations (+ small tables).  Batches
+    beyond ``MAX_BATCH_TILE`` are chunked.
+    """
+    if cfg.n_cluster > 2 * LANE:
+        raise ValueError("dequant_matmul supports K ≤ 256 (use load-time dequant for 1x16)")
+    b_all = x.shape[0]
+    if b_all > MAX_BATCH_TILE:
+        outs = [
+            dequant_matmul(
+                cfg,
+                packed,
+                x[i : i + MAX_BATCH_TILE],
+                block_j=block_j,
+                precision=precision,
+                interpret=interpret,
+            )
+            for i in range(0, b_all, MAX_BATCH_TILE)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    b = b_all
+    g_pad, d_out_pad = packed.codes_t.shape
+    d, m, n = cfg.d_subvec, cfg.n_subvec, cfg.n_codebook
+    tables = build_gather_tables(cfg, packed.codebook)
+    kp = tables.shape[-1]
+    # activations with columns ordered (w, m): x_perm[b, w*m + mm] = x[b, mm*d + w]
+    x_perm = jnp.transpose(
+        x.astype(jnp.float32).reshape(b, m, d), (0, 2, 1)
+    ).reshape(b, d * m)
+
+    bj = min(block_j, d_out_pad)
+    scales = packed.scales
+    has_scales = scales is not None
+    if scales is None:
+        scales = jnp.ones((1, bj), jnp.float32)
+        scale_spec = pl.BlockSpec((1, bj), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
+
+    kern = functools.partial(
+        _dequant_mm_kernel,
+        b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
+        block_j=bj, has_scales=has_scales, precision=precision,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(d_out_pad // bj,),
+        in_specs=[
+            pl.BlockSpec((d * g_pad, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d * m), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            scale_spec,
+        ],
+        out_specs=pl.BlockSpec((b, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((d * m, LANE), jnp.float32)],
+        interpret=interpret,
+    )(tables, packed.codes_t, x_perm, scales)
+    return out[:, : packed.d_out]

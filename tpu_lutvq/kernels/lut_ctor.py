@@ -1,0 +1,70 @@
+"""LUT construction (the "activation → lookup table" phase).
+
+The reference implements this phase twice: as a NumPy batched dot
+(vq_dataflow_sim/vq.py:280-285) and as a SIMD kernel with dynamic int8 range
+quantization (benchmark/kernel/bs_lut_gemm/lut_ctor.cc:120-260; also
+QuickerADC's QuantizerMAX, faiss-simd/VecProductQuantizer.h:182-298).
+
+On TPU this phase is a clean MXU contraction — XLA's einsum is already
+optimal for it, so there is no Pallas kernel here; the value added is the
+kernel-facing layout (padded lane dimension) and the int8 range quantizer
+used by the ANN scan path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import broadcast_codebook
+
+LANE = 128  # TPU vreg lane count; gather tables must be exactly this wide
+
+
+def build_lut(
+    cfg: VQConfig,
+    codebook: jax.Array,
+    x: jax.Array,
+    pad_lanes: bool = True,
+) -> jax.Array:
+    """Compute per-token LUTs, laid out for the gather kernel.
+
+    x: ``(B, d_in)`` → ``(B, G, Kp)`` float32 where ``G = M·N`` and
+    ``Kp = max(K, 128)`` (tables narrower than a vreg are lane-padded so the
+    lookup kernel can use a single 128-wide dynamic gather).
+
+    Groups are ordered **n-major** (``g = n·M + m``) throughout the kernel
+    layouts, so summing the N additive codebooks is a contiguous sublane-block
+    add in the dequant kernel (strided sublane slices are relayout ops on TPU).
+
+    ``lut[b, n·M+m, k] = Σ_d codebook[m,n,k,d] · x[b, m·d_sub + d]``
+    (reference semantics: vq.py:280-285).
+    """
+    cb = broadcast_codebook(cfg, codebook).astype(jnp.float32)
+    xr = x.reshape(x.shape[0], cfg.n_subvec, cfg.d_subvec).astype(jnp.float32)
+    lut = jnp.einsum("mnkd,bmd->bnmk", cb, xr)  # MXU
+    lut = lut.reshape(x.shape[0], cfg.n_groups, cfg.n_cluster)
+    if pad_lanes and cfg.n_cluster < LANE:
+        lut = jnp.pad(lut, ((0, 0), (0, 0), (0, LANE - cfg.n_cluster)))
+    return lut
+
+
+def quantize_lut_int8(
+    lut: jax.Array, axis: int = -1
+) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric int8 range quantization of a LUT.
+
+    TPU analog of the reference's running-max int8 LUT quantizer
+    (lut_ctor.cc:232-260) and QuickerADC's ``QuantizerMAX``
+    (VecProductQuantizer.h:182-298): scale each table by its abs-max so
+    entries span the full int8 range.
+
+    Returns ``(lut_q int8, scale f32)`` with ``lut ≈ lut_q * scale``.
+    """
+    absmax = jnp.max(jnp.abs(lut), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-30) / 127.0
+    lut_q = jnp.clip(jnp.round(lut / scale), -127, 127).astype(jnp.int8)
+    return lut_q, scale

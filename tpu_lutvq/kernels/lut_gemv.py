@@ -1,0 +1,194 @@
+"""Fused LUT lookup-accumulate GEMV/GEMM — the hot kernel.
+
+Semantics (the reference's hot loop, vq_dataflow_sim/vq.py:287-302, and the
+SIMD analog tbl.cc:437-527):  ``y[b, j] = Σ_g lut[b, g, codes[j, g]]``.
+
+TPU-native design (measured on v5e, see exp/probe_gather*.py):
+
+- Codes are streamed from HBM once, as uint8, in ``(G, TJ)`` tiles of a
+  pre-transposed ``(G, d_out)`` layout — the VeLU dataflow (vq.py:253-263):
+  LUT and psums stay on-chip, codes are the only per-output traffic.
+- The lookup itself is Mosaic's ``tpu.dynamic_gather`` (the TPU analog of
+  the reference's ``shuffle_epi8`` / ``vrgather``), reached via
+  ``jnp.take_along_axis`` with table == index shape.  Hardware constraint:
+  32-bit element type, table exactly 128 lanes wide.  K ≤ 128 uses one
+  gather; K = 256 uses two + select on the index high bit (the same
+  two-register split as AVX2's 128-entry limit, VecProductQuantizer.h
+  4-bit AVX256 variants).
+- Accumulation over the G axis rides the MXU (``ones(1,G) @ gathered``)
+  with HIGHEST precision, freeing the VPU for gathers.
+- Per-output scales (vq.py:300-301 / AQLM ``scales``) fuse into the epilogue.
+
+Batch tokens share the streamed code tiles; each token gathers from its own
+LUT (VMEM-resident, ``(B·G, K)``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import VQParams
+from tpu_lutvq.kernels.lut_ctor import LANE, build_lut
+
+DEFAULT_BLOCK_J = 1024  # measured DMA sweet spot on v5e (exp/probe_gather8.py)
+MAX_LUT_BATCH = 8  # tokens whose LUTs are VMEM-resident simultaneously
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class PackedVQ(NamedTuple):
+    """Kernel-facing parameter layout, prepared once at load time.
+
+    codes_t:  ``(G_pad, d_out_pad)`` uint8 — transposed, padded codes in
+              n-major group order (``g = n·M + m``, matching build_lut);
+              padding groups point at LUT entry 0 of padded zero rows.
+    codebook: original ``(M_cb, N, K, d)`` float codebook (for LUT build).
+    scales:   ``(1, d_out_pad)`` float32 or None.
+    d_out:    logical output dim (≤ d_out_pad).
+    """
+
+    codes_t: jax.Array
+    codebook: jax.Array
+    scales: Optional[jax.Array]
+    d_out: int
+
+
+def pack_params(cfg: VQConfig, params: VQParams, block_j: int = DEFAULT_BLOCK_J) -> PackedVQ:
+    """Transpose codes to ``(G, d_out)`` and pad both axes for the kernel."""
+    d_out = params.codes.shape[0]
+    g_pad = _round_up(cfg.n_groups, 8)
+    d_out_pad = _round_up(d_out, min(block_j, _round_up(d_out, LANE)))
+    d_out_pad = _round_up(d_out_pad, LANE)
+    # (d_out, M, N) -> n-major (N, M, d_out) -> (G, d_out)
+    codes_t = jnp.transpose(params.codes, (2, 1, 0)).reshape(
+        cfg.n_groups, d_out
+    ).astype(jnp.uint8)
+    codes_t = jnp.pad(codes_t, ((0, g_pad - cfg.n_groups), (0, d_out_pad - d_out)))
+    scales = None
+    if params.scales is not None:
+        s = params.scales.astype(jnp.float32).reshape(1, d_out)
+        scales = jnp.pad(s, ((0, 0), (0, d_out_pad - d_out)), constant_values=1.0)
+    return PackedVQ(codes_t=codes_t, codebook=params.codebook, scales=scales, d_out=d_out)
+
+
+def _gemv_kernel(lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, k, block_j, has_scales):
+    """One grid step: produce ``(batch, block_j)`` outputs from a code tile.
+
+    lut_ref:    (batch*g, Kp) f32, whole array resident (constant index map)
+    codes_ref:  (g, block_j) u8
+    scales_ref: (1, block_j) f32 (or unused dummy)
+    out_ref:    (batch, block_j) f32
+    """
+    two_gather = k > LANE
+    ones = jnp.ones((1, g), dtype=jnp.float32)
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (g, 128)
+        if two_gather:
+            idx_lo = idx & (LANE - 1)
+            is_lo = idx < LANE
+        for b in range(batch):
+            table = lut_ref[b * g : (b + 1) * g, :]
+            if two_gather:
+                lo = jnp.take_along_axis(table[:, :LANE], idx_lo, axis=1)
+                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_lo, axis=1)
+                sel = jnp.where(is_lo, lo, hi)
+            else:
+                sel = jnp.take_along_axis(table[:, :LANE], idx, axis=1)
+            psum = jax.lax.dot_general(
+                ones,
+                sel,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (1, 128)
+            if has_scales:
+                psum = psum * scales_ref[:, t * LANE : (t + 1) * LANE]
+            out_ref[b, t * LANE : (t + 1) * LANE] = psum[0]
+
+
+def _lut_gemv_packed(
+    cfg: VQConfig,
+    packed: PackedVQ,
+    lut: jax.Array,
+    *,
+    block_j: int,
+    interpret: bool,
+) -> jax.Array:
+    """Run the lookup kernel given prebuilt LUTs ``(B, G, Kp)``."""
+    batch = lut.shape[0]
+    g_pad, d_out_pad = packed.codes_t.shape
+    kp = lut.shape[-1]
+    if cfg.n_cluster > 2 * LANE:
+        raise ValueError(
+            f"lookup kernel supports K ≤ {2*LANE}; K={cfg.n_cluster} uses the "
+            "dequant-matmul path (tpu_lutvq.kernels.dequant_mm)"
+        )
+    lut2 = lut.reshape(batch * lut.shape[1], kp)
+    if lut.shape[1] != g_pad:  # pad G axis per batch entry
+        lut2 = jnp.pad(
+            lut.reshape(batch, lut.shape[1], kp),
+            ((0, 0), (0, g_pad - lut.shape[1]), (0, 0)),
+        ).reshape(batch * g_pad, kp)
+    bj = min(block_j, d_out_pad)
+    scales = packed.scales
+    has_scales = scales is not None
+    if scales is None:
+        scales = jnp.ones((1, bj), jnp.float32)  # dummy
+        scale_spec = pl.BlockSpec((1, bj), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
+
+    kern = functools.partial(
+        _gemv_kernel,
+        batch=batch,
+        g=g_pad,
+        k=cfg.n_cluster,
+        block_j=bj,
+        has_scales=has_scales,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(d_out_pad // bj,),
+        in_specs=[
+            pl.BlockSpec((batch * g_pad, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+            scale_spec,
+        ],
+        out_specs=pl.BlockSpec((batch, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, d_out_pad), jnp.float32),
+        interpret=interpret,
+    )(lut2, packed.codes_t, scales)
+    return out[:, : packed.d_out]
+
+
+def lut_gemv(
+    cfg: VQConfig,
+    packed: PackedVQ,
+    x: jax.Array,
+    *,
+    block_j: int = DEFAULT_BLOCK_J,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused LUT-VQ matmul: ``(B, d_in) → (B, d_out)`` float32.
+
+    Streams codes once (VeLU dataflow); LUTs for up to ``MAX_LUT_BATCH``
+    tokens are VMEM-resident per kernel launch, larger batches are chunked.
+    """
+    batch = x.shape[0]
+    outs = []
+    for b0 in range(0, batch, MAX_LUT_BATCH):
+        xb = x[b0 : b0 + MAX_LUT_BATCH]
+        lut = build_lut(cfg, packed.codebook, xb)  # (b, G, Kp) on MXU
+        outs.append(
+            _lut_gemv_packed(cfg, packed, lut, block_j=block_j, interpret=interpret)
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

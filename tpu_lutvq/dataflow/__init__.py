@@ -1,0 +1,8 @@
+from tpu_lutvq.dataflow.chips import CHIPS, ChipSpec  # noqa: F401
+from tpu_lutvq.dataflow.traffic import (  # noqa: F401
+    STRATEGIES,
+    KernelCost,
+    estimate,
+    pick_strategy,
+)
+from tpu_lutvq.dataflow.sweep import run_sweep  # noqa: F401

@@ -1,0 +1,65 @@
+"""TPU chip specifications for the analytical roofline model.
+
+Replaces the reference's vector-core hardware model (``VLEN``/``LMUL``/``BW``
+tiling parameters, vq_dataflow_sim/vq.py:69-82) with the TPU memory/compute
+hierarchy.  Public figures; v5e VPU rate cross-checked on hardware via
+exp/probe_gather*.py (963 G lane-ops/s ≈ 8·128 lanes × 940 MHz).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    hbm_bytes: float  # HBM capacity
+    hbm_gbps: float  # HBM bandwidth, bytes/s
+    bf16_flops: float  # MXU bf16 FLOP/s
+    int8_ops: float  # MXU int8 OP/s
+    vpu_lane_ops: float  # VPU 32-bit lane-ops/s
+    vmem_bytes: float  # per-core VMEM budget usable by kernels
+    ici_gbps: float  # per-link ICI bandwidth, bytes/s (bidirectional total)
+    num_ici_links: int
+
+
+CHIPS: dict[str, ChipSpec] = {
+    "v5e": ChipSpec(
+        name="v5e",
+        hbm_bytes=16e9,
+        hbm_gbps=819e9,
+        bf16_flops=197e12,
+        int8_ops=394e12,
+        vpu_lane_ops=963e9,
+        vmem_bytes=64 * 2**20,
+        ici_gbps=2 * 186e9,
+        num_ici_links=4,
+    ),
+    "v5p": ChipSpec(
+        name="v5p",
+        hbm_bytes=95e9,
+        hbm_gbps=2765e9,
+        bf16_flops=459e12,
+        int8_ops=918e12,
+        vpu_lane_ops=4 * 963e9,
+        vmem_bytes=128 * 2**20,
+        ici_gbps=2 * 300e9,
+        num_ici_links=6,
+    ),
+    "v6e": ChipSpec(
+        name="v6e",
+        hbm_bytes=32e9,
+        hbm_gbps=1640e9,
+        bf16_flops=918e12,
+        int8_ops=1836e12,
+        vpu_lane_ops=2 * 963e9,
+        vmem_bytes=128 * 2**20,
+        ici_gbps=2 * 448e9,
+        num_ici_links=4,
+    ),
+}
+
+
+def default_chip() -> ChipSpec:
+    return CHIPS["v5e"]

@@ -1,0 +1,113 @@
+"""Strategy × workload sweep — the ``dataflow_sim.csv`` analog.
+
+Reproduces the reference's sweep structure (sim_dataflow.py:30-107: loop
+orders × {TMAC_GEMV, PQ, RQ, AQLM_GEMV} → per-tensor off-chip MB) with TPU
+kernel strategies in place of loop orders, adding the op-count rooflines and
+predicted runtime/bound columns.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from typing import Optional
+
+from tpu_lutvq.core.config import VQConfig, aqlm_2x8, pq_ann, rq_ann, tmac
+from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
+from tpu_lutvq.dataflow.traffic import STRATEGIES
+
+# The reference's four sweep workloads (sim_dataflow.py:33-52).
+WORKLOADS = {
+    "TMAC_GEMV": (tmac(4096, bits=4, group=4), 4096, 1),
+    "PQ": (pq_ann(d=128, m=8, k=256), 1024, 1),
+    "RQ": (rq_ann(d=128, n_codebooks=4, k=256), 1024, 1),
+    "AQLM_GEMV": (aqlm_2x8(4096, group=16), 4096, 1),
+    # Batched variants (dataflow_sim_old.csv:2-22 showed the optimum flips):
+    "AQLM_GEMM_B64": (aqlm_2x8(4096, group=16), 4096, 64),
+    "TMAC_GEMM_B16": (tmac(4096, bits=4, group=4), 4096, 16),
+    # Llama-2 7B serving shape (benchmark_rq_gemm_cpu.py:27-31):
+    "LLAMA7B_GATE_B1": (aqlm_2x8(4096, group=8), 11008, 1),
+    "LLAMA7B_GATE_B32": (aqlm_2x8(4096, group=8), 11008, 32),
+}
+
+COLUMNS = [
+    "Strategy",
+    "VQ_type",
+    "Batch",
+    "Dout",
+    "D",
+    "M",
+    "N",
+    "K",
+    "Codeword_MB",
+    "Codebook_MB",
+    "LUT_MB",
+    "Inp_MB",
+    "Psum_MB",
+    "Total_HBM_MB",
+    "VPU_Gops",
+    "MXU_Gflop",
+    "Pred_us",
+    "Bound",
+    "Roofline_frac",
+]
+
+
+def run_sweep(chip: Optional[ChipSpec] = None, out_path: Optional[str] = None) -> list[dict]:
+    chip = chip or default_chip()
+    rows = []
+    for wname, (cfg, d_out, batch) in WORKLOADS.items():
+        for sname, fn in STRATEGIES.items():
+            c = fn(cfg, d_out, batch)
+            mb = {k: v / 2**20 for k, v in c.hbm_bytes.items()}
+            rows.append(
+                {
+                    "Strategy": sname,
+                    "VQ_type": wname,
+                    "Batch": batch,
+                    "Dout": d_out,
+                    "D": cfg.d_in,
+                    "M": cfg.n_subvec,
+                    "N": cfg.n_codebook,
+                    "K": cfg.n_cluster,
+                    "Codeword_MB": round(mb["codeword"], 4),
+                    "Codebook_MB": round(mb["codebook"], 4),
+                    "LUT_MB": round(mb["lut"], 4),
+                    "Inp_MB": round(mb["inp"], 4),
+                    "Psum_MB": round(mb["psum"], 4),
+                    "Total_HBM_MB": round(c.total_hbm / 2**20, 4),
+                    "VPU_Gops": round(c.vpu_ops / 1e9, 3),
+                    "MXU_Gflop": round(c.mxu_flops / 1e9, 3),
+                    "Pred_us": round(c.time_s(chip) * 1e6, 2),
+                    "Bound": c.bound(chip),
+                    "Roofline_frac": round(c.roofline_frac(chip), 3),
+                }
+            )
+    if out_path:
+        with open(out_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=COLUMNS)
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
+def sweep_csv(chip: Optional[ChipSpec] = None) -> str:
+    buf = io.StringIO()
+    w = csv.DictWriter(buf, fieldnames=COLUMNS)
+    w.writeheader()
+    w.writerows(run_sweep(chip))
+    return buf.getvalue()
+
+
+if __name__ == "__main__":
+    import sys
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "dataflow_sweep.csv"
+    rows = run_sweep(out_path=path)
+    for r in rows:
+        print(
+            f"{r['VQ_type']:18s} {r['Strategy']:12s} B={r['Batch']:<4d} "
+            f"HBM={r['Total_HBM_MB']:9.3f}MB pred={r['Pred_us']:9.2f}us "
+            f"bound={r['Bound']} roofline={r['Roofline_frac']:.2f}"
+        )
+    print(f"\nwrote {path}")

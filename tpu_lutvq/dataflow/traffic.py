@@ -1,0 +1,181 @@
+"""Analytical traffic + compute cost model for every kernel strategy.
+
+This is the TPU re-expression of the reference's dataflow simulator
+(vq_dataflow_sim/vq.py:68-267): instead of counting off-chip bits for 7 loop
+orders over a modeled vector core, we count HBM↔VMEM bytes *and* VPU/MXU op
+counts for each TPU kernel strategy, and predict runtime as the max of the
+three rooflines.  The same accounting categories are kept (codeword /
+codebook / lut / inp / psum — ``perf_cnt``, vq.py:30-36) so outputs are
+directly comparable with ``dataflow_sim.csv``.
+
+Why ops are modeled too: on TPU the lookup kernel is VPU-bound, not
+bandwidth-bound (measured: ~7-10 lane-ops per code, exp/probe_gather*.py),
+so a traffic-only model would mispredict the optimum by ~8x.  Per-code op
+constants are calibrated from v5e measurements.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
+
+# Calibrated VPU lane-op costs per code per token (v5e, exp/bench_kernels_tpu2.py):
+# u8->i32 convert ~2, &127 + cmp ~2 (K>128 only), gathers 1-2, select 1,
+# plus measured kernel overhead.
+_OPS_PER_CODE_K256 = 9.0
+_OPS_PER_CODE_K128 = 5.0
+# dequant_mm: per code, batch-amortized: d words × (2 gathers + select + sums
+# + scratch store); calibrated on v5e (830us for 11008×1024 codes, d=8 →
+# 8.8 lane-ops/code-word; theoretical floor ~3.4 — optimization headroom).
+_OPS_PER_CODE_WORD_DQ = 8.8
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelCost:
+    strategy: str
+    hbm_bytes: dict  # per-tensor traffic (codeword/codebook/lut/inp/psum)
+    vpu_ops: float
+    mxu_flops: float  # counted in bf16-equivalent FLOPs
+    vmem_bytes: float  # peak VMEM working set
+
+    @property
+    def total_hbm(self) -> float:
+        return float(sum(self.hbm_bytes.values()))
+
+    def time_s(self, chip: Optional[ChipSpec] = None) -> float:
+        chip = chip or default_chip()
+        return max(
+            self.total_hbm / chip.hbm_gbps,
+            self.vpu_ops / chip.vpu_lane_ops,
+            self.mxu_flops / chip.bf16_flops,
+        )
+
+    def bound(self, chip: Optional[ChipSpec] = None) -> str:
+        chip = chip or default_chip()
+        times = {
+            "hbm": self.total_hbm / chip.hbm_gbps,
+            "vpu": self.vpu_ops / chip.vpu_lane_ops,
+            "mxu": self.mxu_flops / chip.bf16_flops,
+        }
+        return max(times, key=times.get)
+
+    def roofline_frac(self, chip: Optional[ChipSpec] = None) -> float:
+        """Fraction of the HBM roofline this strategy achieves (≤ 1).  The
+        north-star metric: 1.0 means codes stream at full HBM bandwidth."""
+        chip = chip or default_chip()
+        return (self.total_hbm / chip.hbm_gbps) / self.time_s(chip)
+
+
+def _base_traffic(cfg: VQConfig, d_out: int, batch: int, itemsize_cb: int = 4):
+    codes = cfg.codes_bytes(d_out)
+    inp = batch * cfg.d_in * 4
+    psum = batch * d_out * 4
+    codebook = cfg.codebook_bytes(itemsize_cb)
+    return codes, inp, psum, codebook
+
+
+def cost_lut_gemv(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
+    """VMEM-resident LUT gather kernel (kernels/lut_gemv.py) — the VeLU
+    dataflow (vq.py:253-263): codes read once, LUT written+read once."""
+    codes, inp, psum, codebook = _base_traffic(cfg, d_out, batch)
+    kp = max(cfg.n_cluster, 128)
+    lut_bytes = 2 * batch * cfg.n_groups * kp * 4  # HBM write + read
+    n_codes = d_out * cfg.n_groups
+    ops = _OPS_PER_CODE_K256 if cfg.n_cluster > 128 else _OPS_PER_CODE_K128
+    vpu = n_codes * (2.0 + (ops - 2.0) * batch)  # load/convert shared, gather per token
+    mxu = 2 * batch * cfg.lut_entries * cfg.d_subvec  # LUT build
+    mxu += 2 * batch * d_out * cfg.n_groups  # ones-reduce
+    vmem = batch * cfg.n_groups * kp * 4 + 2 * cfg.n_groups * 1024
+    return KernelCost(
+        "lut_gemv",
+        {
+            "codeword": codes,
+            "codebook": codebook,
+            "lut": lut_bytes,
+            "inp": inp,
+            "psum": psum,
+        },
+        vpu,
+        mxu,
+        vmem,
+    )
+
+
+def cost_dequant_mm(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
+    """Fused on-chip dequant + matmul (kernels/dequant_mm.py): gather cost
+    amortized over the batch, dense MXU contraction."""
+    codes, inp, psum, codebook = _base_traffic(cfg, d_out, batch)
+    n_codes = d_out * cfg.n_groups
+    vpu = n_codes * cfg.d_subvec * _OPS_PER_CODE_WORD_DQ
+    mxu = 2 * batch * cfg.d_in * d_out
+    kp = max(cfg.n_cluster, 128)
+    vmem = (
+        cfg.d_subvec * cfg.n_groups * kp * 4  # tables
+        + cfg.d_in * 128 * 4  # W^T scratch
+        + batch * cfg.d_in * 4
+    )
+    return KernelCost(
+        "dequant_mm",
+        {
+            "codeword": codes,
+            "codebook": codebook,
+            "lut": 0.0,
+            "inp": inp,
+            "psum": psum,
+        },
+        vpu,
+        mxu,
+        vmem,
+    )
+
+
+def cost_dense_bf16(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
+    """Baseline: dense bf16 weights (what the reference benchmarks against,
+    benchmark_rq_gemm_cpu.py:139-143)."""
+    inp = batch * cfg.d_in * 4
+    psum = batch * d_out * 4
+    w = cfg.d_in * d_out * 2
+    mxu = 2 * batch * cfg.d_in * d_out
+    return KernelCost(
+        "dense_bf16",
+        {"codeword": 0.0, "codebook": w, "lut": 0.0, "inp": inp, "psum": psum},
+        0.0,
+        mxu,
+        min(w, 8 * 2**20),
+    )
+
+
+STRATEGIES = {
+    "lut_gemv": cost_lut_gemv,
+    "dequant_mm": cost_dequant_mm,
+    "dense_bf16": cost_dense_bf16,
+}
+
+
+def estimate(
+    cfg: VQConfig, d_out: int, batch: int, strategy: str, chip: Optional[ChipSpec] = None
+) -> KernelCost:
+    return STRATEGIES[strategy](cfg, d_out, batch)
+
+
+def pick_strategy(
+    cfg: VQConfig,
+    d_out: int,
+    batch: int,
+    chip: Optional[ChipSpec] = None,
+    quantized_only: bool = True,
+) -> str:
+    """Choose the fastest predicted kernel for this (config, shape, batch).
+
+    The TPU analog of the reference's dataflow sweep picking the loop order
+    with minimum off-chip traffic (sim_dataflow.py:30-107) — except the
+    decision metric is predicted runtime over three rooflines.
+    """
+    chip = chip or default_chip()
+    names = [s for s in STRATEGIES if quantized_only and s != "dense_bf16"]
+    if cfg.n_cluster > 256:
+        return "dense_bf16"  # 1x16: load-time dequant path
+    return min(names, key=lambda s: STRATEGIES[s](cfg, d_out, batch).time_s(chip))

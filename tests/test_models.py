@@ -1,0 +1,104 @@
+"""Model-layer tests: QuantizedLinear dispatch, INT8 KV cache, tiny Llama
+end-to-end on CPU (Pallas interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.core import golden
+from tpu_lutvq.core.config import aqlm_2x8
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.kernels import pack_params
+from tpu_lutvq.models import KVCache, LlamaConfig, init_llama
+from tpu_lutvq.models.kv_cache import dequantize_k, quantize_kv, update_cache
+from tpu_lutvq.models.linear import QuantizedLinear
+from tpu_lutvq.models.llama import init_caches, llama_decode_step, llama_forward
+
+
+def test_quantized_linear_strategies_agree(rng):
+    cfg = aqlm_2x8(128, group=8)
+    params = init_vq_params(rng, cfg, 192, dtype=jnp.float32, with_scales=True)
+    layer = QuantizedLinear(packed=pack_params(cfg, params, block_j=128))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 128), dtype=jnp.float32)
+    y_lut = layer.apply(cfg, x, strategy="lut_gemv", interpret=True)
+    y_dq = layer.apply(cfg, x, strategy="dequant_mm", interpret=True)
+    y_dense = layer.apply(cfg, x, strategy="dense_bf16")
+    want = golden.lut_gemm(cfg, params, x.reshape(-1, 128)).reshape(4, 3, 192)
+    np.testing.assert_allclose(np.asarray(y_lut), np.asarray(want), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_dq), np.asarray(want), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_kv_cache_roundtrip(rng):
+    cache = KVCache.init(2, 16, 4, 32)
+    k = jax.random.normal(rng, (2, 3, 4, 32), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4, 32), dtype=jnp.float32)
+    cache = update_cache(cache, k, v, jnp.int32(5))
+    kd = dequantize_k(cache)
+    # int8 round-trip: ~1% relative error on inserted rows, zeros elsewhere
+    np.testing.assert_allclose(np.asarray(kd[:, 5:8]), np.asarray(k), rtol=0.02, atol=0.02)
+    assert float(jnp.abs(kd[:, :5]).max()) == 0.0
+    assert float(jnp.abs(kd[:, 8:]).max()) == 0.0
+
+
+def test_kv_quantize_saturates_at_127():
+    x = jnp.ones((1, 1, 1, 4)) * jnp.asarray([1.0, -2.0, 0.5, 2.0])
+    q, s = quantize_kv(x)
+    assert int(jnp.max(jnp.abs(q.astype(jnp.int32)))) == 127
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = LlamaConfig.tiny()
+    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return cfg, weights
+
+
+def test_llama_prefill_then_decode_consistency(tiny_model):
+    """Incremental decoding must match one-shot prefill (the KV-cache is the
+    only approximation; int8 tolerance)."""
+    cfg, weights = tiny_model
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, cfg.vocab_size)
+    caches = init_caches(cfg, 2)
+    logits_full, _ = llama_forward(
+        cfg, weights, tokens, caches, jnp.int32(0), strategy="lut_gemv", interpret=True
+    )
+    # prefill 5, then decode token 6 incrementally
+    caches = init_caches(cfg, 2)
+    _, caches = llama_forward(
+        cfg, weights, tokens[:, :5], caches, jnp.int32(0), strategy="lut_gemv", interpret=True
+    )
+    logits_step, _ = llama_decode_step(
+        cfg, weights, tokens[:, 5], caches, jnp.int32(5), strategy="lut_gemv", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_step), np.asarray(logits_full[:, -1]), rtol=0.05, atol=0.05
+    )
+
+
+def test_llama_quantized_matches_dense_path(tiny_model):
+    """Same weights through the LUT kernel vs dense dequantized matmul."""
+    cfg, weights = tiny_model
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 4), 0, cfg.vocab_size)
+    l1, _ = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, 1), jnp.int32(0),
+        strategy="lut_gemv", interpret=True,
+    )
+    l2, _ = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, 1), jnp.int32(0), strategy="dense_bf16"
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-3)
+
+
+def test_llama_gqa_shapes():
+    cfg = LlamaConfig.tiny(n_heads=4, n_kv_heads=2)
+    weights = init_llama(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    tokens = jnp.zeros((3, 2), jnp.int32)
+    logits, caches = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, 3), jnp.int32(0),
+        strategy="dequant_mm", interpret=True,
+    )
+    assert logits.shape == (3, 2, cfg.vocab_size)
+    assert caches[0].k_q.shape == (3, cfg.max_seq, 2, cfg.head_dim)
+    assert bool(jnp.all(jnp.isfinite(logits)))

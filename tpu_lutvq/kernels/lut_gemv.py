@@ -25,6 +25,7 @@ LUT (VMEM-resident, ``(B·G, K)``).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional
 
@@ -45,7 +46,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-class PackedVQ(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedVQ:
     """Kernel-facing parameter layout, prepared once at load time.
 
     codes_t:  ``(G_pad, d_out_pad)`` uint8 — transposed, padded codes in
@@ -53,13 +56,21 @@ class PackedVQ(NamedTuple):
               padding groups point at LUT entry 0 of padded zero rows.
     codebook: original ``(M_cb, N, K, d)`` float codebook (for LUT build).
     scales:   ``(1, d_out_pad)`` float32 or None.
-    d_out:    logical output dim (≤ d_out_pad).
+    d_out:    logical output dim (≤ d_out_pad) — static metadata, not a leaf.
     """
 
     codes_t: jax.Array
     codebook: jax.Array
     scales: Optional[jax.Array]
     d_out: int
+
+    def tree_flatten(self):
+        return (self.codes_t, self.codebook, self.scales), self.d_out
+
+    @classmethod
+    def tree_unflatten(cls, d_out, children):
+        codes_t, codebook, scales = children
+        return cls(codes_t=codes_t, codebook=codebook, scales=scales, d_out=d_out)
 
 
 def pack_params(cfg: VQConfig, params: VQParams, block_j: int = DEFAULT_BLOCK_J) -> PackedVQ:

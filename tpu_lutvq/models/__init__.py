@@ -1,0 +1,9 @@
+from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear  # noqa: F401
+from tpu_lutvq.models.kv_cache import KVCache  # noqa: F401
+from tpu_lutvq.models.llama import (  # noqa: F401
+    LlamaConfig,
+    LlamaWeights,
+    init_llama,
+    llama_decode_step,
+    llama_forward,
+)

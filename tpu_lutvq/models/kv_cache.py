@@ -1,0 +1,103 @@
+"""INT8 KV cache.
+
+The reference has no sequence dimension at all (batch-1 GEMV benchmarks);
+an INT8 paged KV cache is mandated by the north-star config
+(BASELINE.json: "INT8 KV-cache").  Design: per (token, head) symmetric int8
+quantization — the same dynamic range-quantization idea as the reference's
+LUT quantizer (lut_ctor.cc:232-260) applied to K/V rows.  Static max-length
+ring buffer per layer; updates via dynamic_update_slice (jit-friendly).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KVCache(NamedTuple):
+    """One layer's cache.  Shapes:
+
+    k_q / v_q:        (B, S_max, H_kv, Dh) int8
+    k_scale / v_scale:(B, S_max, H_kv) float32
+    """
+
+    k_q: jax.Array
+    v_q: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+
+    @classmethod
+    def init(cls, batch: int, max_seq: int, n_kv_heads: int, head_dim: int) -> "KVCache":
+        return cls(
+            k_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), jnp.int8),
+            v_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), jnp.int8),
+            k_scale=jnp.zeros((batch, max_seq, n_kv_heads), jnp.float32),
+            v_scale=jnp.zeros((batch, max_seq, n_kv_heads), jnp.float32),
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.k_q.shape[1]
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, T, H, Dh) → int8 values + (B, T, H) scales (symmetric, per row)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(absmax, 1e-10) / 127.0
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def update_cache(cache: KVCache, k: jax.Array, v: jax.Array, pos: jax.Array) -> KVCache:
+    """Insert T new tokens at position ``pos``.
+
+    ``pos`` is a scalar (same position across the batch — plain generate) or
+    a ``(B,)`` vector (per-sequence positions — continuous batching).
+    """
+    k_q, k_s = quantize_kv(k)
+    v_q, v_s = quantize_kv(v)
+    z = jnp.zeros((), jnp.int32)
+    pos = jnp.asarray(pos, jnp.int32)
+    if pos.ndim == 0:
+        return KVCache(
+            k_q=jax.lax.dynamic_update_slice(cache.k_q, k_q, (z, pos, z, z)),
+            v_q=jax.lax.dynamic_update_slice(cache.v_q, v_q, (z, pos, z, z)),
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, k_s, (z, pos, z)),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, v_s, (z, pos, z)),
+        )
+    upd4 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, z, z)))
+    upd3 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, z)))
+    return KVCache(
+        k_q=upd4(cache.k_q, k_q, pos),
+        v_q=upd4(cache.v_q, v_q, pos),
+        k_scale=upd3(cache.k_scale, k_s, pos),
+        v_scale=upd3(cache.v_scale, v_s, pos),
+    )
+
+
+def write_cache_slot(big: KVCache, small: KVCache, slot: int | jax.Array) -> KVCache:
+    """Copy a single-sequence cache (B=1) into slot ``slot`` of a batched
+    cache (continuous batching admission)."""
+    slot = jnp.asarray(slot, jnp.int32)
+    z = jnp.zeros((), jnp.int32)
+    t = small.k_q.shape[1]
+    assert t <= big.max_seq
+    pad = lambda x4: jnp.pad(
+        x4, ((0, 0), (0, big.max_seq - t)) + ((0, 0),) * (x4.ndim - 2)
+    )
+    return KVCache(
+        k_q=jax.lax.dynamic_update_slice(big.k_q, pad(small.k_q), (slot, z, z, z)),
+        v_q=jax.lax.dynamic_update_slice(big.v_q, pad(small.v_q), (slot, z, z, z)),
+        k_scale=jax.lax.dynamic_update_slice(big.k_scale, pad(small.k_scale), (slot, z, z)),
+        v_scale=jax.lax.dynamic_update_slice(big.v_scale, pad(small.v_scale), (slot, z, z)),
+    )
+
+
+def dequantize_k(cache: KVCache) -> jax.Array:
+    return cache.k_q.astype(jnp.float32) * cache.k_scale[..., None]
+
+
+def dequantize_v(cache: KVCache) -> jax.Array:
+    return cache.v_q.astype(jnp.float32) * cache.v_scale[..., None]

@@ -1,0 +1,94 @@
+"""Quantized linear layers — the AQLM ``QuantizedLinear`` analog.
+
+The reference benchmarks an AQLM LUT-GEMV against ``F.linear`` on Llama-2
+layer shapes (benchmark/kernel/rq_lut/benchmark_rq_gemm_cpu.py:102-152); this
+module is the serving-grade version: a pytree layer that dispatches between
+the fused LUT kernel (decode), the fused dequant-matmul kernel (batch), and a
+dense fallback, using the analytical cost model (tpu_lutvq.dataflow).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import VQParams, init_vq_params
+from tpu_lutvq.dataflow.traffic import pick_strategy
+from tpu_lutvq.kernels import dequant_matmul, lut_gemv, pack_params
+from tpu_lutvq.kernels.lut_gemv import PackedVQ
+
+
+class DenseLinear(NamedTuple):
+    """Unquantized layer (embeddings, lm_head, or load-time-dequantized 1x16)."""
+
+    w: jax.Array  # (d_out, d_in)
+
+    @property
+    def d_in(self) -> int:
+        return self.w.shape[1]
+
+    @property
+    def d_out(self) -> int:
+        return self.w.shape[0]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = x.astype(self.w.dtype) @ self.w.T
+        return y
+
+
+class QuantizedLinear(NamedTuple):
+    """LUT-VQ quantized linear layer.
+
+    ``cfg`` travels alongside as a static argument (it is hashable and shape-
+    defining); ``packed`` is the kernel-facing parameter pytree.
+    """
+
+    packed: PackedVQ
+
+    def apply(
+        self,
+        cfg: VQConfig,
+        x: jax.Array,
+        *,
+        strategy: str = "auto",
+        interpret: bool = False,
+    ) -> jax.Array:
+        """x: (..., d_in) → (..., d_out) float32."""
+        lead = x.shape[:-1]
+        xb = x.reshape(-1, x.shape[-1])
+        batch = xb.shape[0]
+        if strategy == "auto":
+            strategy = pick_strategy(cfg, self.packed.d_out, batch)
+        if strategy == "lut_gemv":
+            y = lut_gemv(cfg, self.packed, xb, interpret=interpret)
+        elif strategy == "dequant_mm":
+            y = dequant_matmul(cfg, self.packed, xb, interpret=interpret)
+        elif strategy == "dense_bf16":
+            from tpu_lutvq.core.golden import dequantize  # lazy; load-time path
+
+            codes = jnp.transpose(
+                self.packed.codes_t[: cfg.n_groups, : self.packed.d_out]
+            ).reshape(self.packed.d_out, cfg.n_codebook, cfg.n_subvec).transpose(0, 2, 1)
+            scales = None
+            if self.packed.scales is not None:
+                scales = self.packed.scales[0, : self.packed.d_out]
+            w = dequantize(cfg, VQParams(self.packed.codebook, codes, scales))
+            y = xb.astype(jnp.float32) @ w.T
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        return y.reshape(*lead, self.packed.d_out)
+
+
+def make_quantized_linear(
+    key: jax.Array,
+    cfg: VQConfig,
+    d_out: int,
+    dtype=jnp.float16,
+    with_scales: bool = True,
+) -> QuantizedLinear:
+    """Random-initialized quantized layer (synthetic-fixture path)."""
+    params = init_vq_params(key, cfg, d_out, dtype=dtype, with_scales=with_scales)
+    return QuantizedLinear(packed=pack_params(cfg, params))

@@ -1,0 +1,257 @@
+"""Llama-2 decoder with AQLM-quantized projections.
+
+Functional-pytree model (no framework deps): RMSNorm, RoPE, GQA attention
+over the INT8 KV cache, SwiGLU MLP — with every projection a
+``QuantizedLinear`` running the fused LUT-VQ kernels.  This is the serving
+model the reference only gestures at through layer-shape benchmarks
+(benchmark/kernel/rq_lut/benchmark_rq_gemm_cpu.py:27-37: 7B/13B/70B shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.core.config import VQConfig, aqlm_2x8
+from tpu_lutvq.models.kv_cache import (
+    KVCache,
+    dequantize_k,
+    dequantize_v,
+    update_cache,
+)
+from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear, make_quantized_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden: int = 4096
+    ffn: int = 11008
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_seq: int = 2048
+    group: int = 8  # AQLM group size (codes per d_subvec weights)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.n_heads
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    def vq_cfg(self, d_in: int) -> VQConfig:
+        return aqlm_2x8(d_in, group=self.group)
+
+    @classmethod
+    def llama2_7b(cls, **kw) -> "LlamaConfig":
+        return cls(**kw)
+
+    @classmethod
+    def llama2_13b(cls, **kw) -> "LlamaConfig":
+        return cls(hidden=5120, ffn=13824, n_layers=40, n_heads=40, n_kv_heads=40, **kw)
+
+    @classmethod
+    def llama2_70b(cls, **kw) -> "LlamaConfig":
+        return cls(hidden=8192, ffn=28672, n_layers=80, n_heads=64, n_kv_heads=8, **kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlamaConfig":
+        """Test-scale config (CI / CPU interpret mode)."""
+        kw.setdefault("vocab_size", 256)
+        kw.setdefault("hidden", 128)
+        kw.setdefault("ffn", 256)
+        kw.setdefault("n_layers", 2)
+        kw.setdefault("n_heads", 4)
+        kw.setdefault("n_kv_heads", 2)
+        kw.setdefault("max_seq", 64)
+        return cls(**kw)
+
+
+class LayerWeights(NamedTuple):
+    attn_norm: jax.Array  # (hidden,)
+    mlp_norm: jax.Array
+    wq: QuantizedLinear
+    wk: QuantizedLinear
+    wv: QuantizedLinear
+    wo: QuantizedLinear
+    w_gate: QuantizedLinear
+    w_up: QuantizedLinear
+    w_down: QuantizedLinear
+
+
+class LlamaWeights(NamedTuple):
+    embed: jax.Array  # (vocab, hidden) — kept dense (AQLM quantizes only decoder mats)
+    layers: tuple[LayerWeights, ...]
+    final_norm: jax.Array
+    lm_head: DenseLinear
+
+
+def init_llama(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float16) -> LlamaWeights:
+    """Random AQLM-quantized Llama (synthetic-fixture path, like
+    benchmark_rq_gemm_cpu.py:115-126 builds random codes/codebooks)."""
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    h, f = cfg.hidden, cfg.ffn
+    vq_h = cfg.vq_cfg(h)
+    vq_f = cfg.vq_cfg(f)
+
+    def layer(k) -> LayerWeights:
+        ks = jax.random.split(k, 7)
+        return LayerWeights(
+            attn_norm=jnp.ones((h,), jnp.float32),
+            mlp_norm=jnp.ones((h,), jnp.float32),
+            wq=make_quantized_linear(ks[0], vq_h, cfg.q_dim, dtype),
+            wk=make_quantized_linear(ks[1], vq_h, cfg.kv_dim, dtype),
+            wv=make_quantized_linear(ks[2], vq_h, cfg.kv_dim, dtype),
+            wo=make_quantized_linear(ks[3], vq_h, h, dtype),
+            w_gate=make_quantized_linear(ks[4], vq_h, f, dtype),
+            w_up=make_quantized_linear(ks[5], vq_h, f, dtype),
+            w_down=make_quantized_linear(ks[6], vq_f, h, dtype),
+        )
+
+    emb_scale = 1.0 / jnp.sqrt(jnp.float32(h))
+    return LlamaWeights(
+        embed=(jax.random.normal(keys[-1], (cfg.vocab_size, h)) * emb_scale).astype(
+            jnp.bfloat16
+        ),
+        layers=tuple(layer(k) for k in keys[: cfg.n_layers]),
+        final_norm=jnp.ones((h,), jnp.float32),
+        lm_head=DenseLinear(
+            (jax.random.normal(keys[-2], (cfg.vocab_size, h)) * emb_scale).astype(
+                jnp.bfloat16
+            )
+        ),
+    )
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)) * w
+
+
+def rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
+    """x: (B, T, H, Dh); pos: (B, T) absolute positions."""
+    dh = x.shape[-1]
+    half = dh // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = pos[..., None].astype(jnp.float32) * freqs  # (B, T, half)
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def _attention(
+    cfg: LlamaConfig,
+    q: jax.Array,  # (B, T, H, Dh)
+    cache: KVCache,
+    t_offset: jax.Array,  # (B,) position of q[:, 0] per sequence
+) -> jax.Array:
+    b, t, nh, dh = q.shape
+    rep = cfg.n_heads // cfg.n_kv_heads
+    k = dequantize_k(cache)  # (B, S, Hkv, Dh)
+    v = dequantize_v(cache)
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k) / jnp.sqrt(
+        jnp.float32(dh)
+    )
+    s = cache.max_seq
+    spos = jnp.arange(s)[None, None, None, :]
+    qpos = t_offset[:, None, None, None] + jnp.arange(t)[None, None, :, None]
+    mask = spos <= qpos  # causal within each sequence's own timeline
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v)
+    return out.reshape(b, t, nh * dh)
+
+
+def _block(
+    cfg: LlamaConfig,
+    lw: LayerWeights,
+    x: jax.Array,  # (B, T, hidden)
+    cache: KVCache,
+    pos: jax.Array,  # (B,) int32: index of first new token per sequence
+    strategy: str,
+    interpret: bool,
+) -> tuple[jax.Array, KVCache]:
+    b, t, h = x.shape
+    vq_h = cfg.vq_cfg(cfg.hidden)
+    vq_f = cfg.vq_cfg(cfg.ffn)
+    kw = dict(strategy=strategy, interpret=interpret)
+
+    xn = rms_norm(x, lw.attn_norm, cfg.rms_eps)
+    q = lw.wq.apply(vq_h, xn, **kw).reshape(b, t, cfg.n_heads, cfg.head_dim)
+    k = lw.wk.apply(vq_h, xn, **kw).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    v = lw.wv.apply(vq_h, xn, **kw).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    tpos = pos[:, None] + jnp.arange(t)[None, :]  # (B, T)
+    q = rope(q, tpos, cfg.rope_theta)
+    k = rope(k, tpos, cfg.rope_theta)
+    cache = update_cache(cache, k, v, pos)
+    attn = _attention(cfg, q, cache, pos)
+    x = x + lw.wo.apply(vq_h, attn, **kw)
+
+    xn = rms_norm(x, lw.mlp_norm, cfg.rms_eps)
+    gate = lw.w_gate.apply(vq_h, xn, **kw)
+    up = lw.w_up.apply(vq_h, xn, **kw)
+    x = x + lw.w_down.apply(vq_f, jax.nn.silu(gate) * up, **kw)
+    return x, cache
+
+
+def llama_forward(
+    cfg: LlamaConfig,
+    weights: LlamaWeights,
+    tokens: jax.Array,  # (B, T) int32
+    caches: tuple[KVCache, ...],
+    pos: jax.Array,  # scalar int32, or (B,) for per-sequence positions
+    *,
+    strategy: str = "auto",
+    interpret: bool = False,
+) -> tuple[jax.Array, tuple[KVCache, ...]]:
+    """Forward pass over T new tokens at absolute position(s) ``pos``.
+
+    Returns (logits (B, T, vocab) float32, updated caches).
+    """
+    pos = jnp.asarray(pos, jnp.int32)
+    if pos.ndim == 0:
+        pos = jnp.full((tokens.shape[0],), pos, jnp.int32)
+    x = weights.embed[tokens].astype(jnp.float32)
+    new_caches = []
+    for lw, cache in zip(weights.layers, caches):
+        x, cache = _block(cfg, lw, x, cache, pos, strategy, interpret)
+        new_caches.append(cache)
+    x = rms_norm(x, weights.final_norm, cfg.rms_eps)
+    logits = weights.lm_head(x).astype(jnp.float32)
+    return logits, tuple(new_caches)
+
+
+def llama_decode_step(
+    cfg: LlamaConfig,
+    weights: LlamaWeights,
+    tokens: jax.Array,  # (B,) int32 — one new token per sequence
+    caches: tuple[KVCache, ...],
+    pos: jax.Array,
+    **kw,
+) -> tuple[jax.Array, tuple[KVCache, ...]]:
+    """Single decode step: (B,) tokens → (B, vocab) logits."""
+    logits, caches = llama_forward(cfg, weights, tokens[:, None], caches, pos, **kw)
+    return logits[:, 0], caches
+
+
+def init_caches(cfg: LlamaConfig, batch: int) -> tuple[KVCache, ...]:
+    return tuple(
+        KVCache.init(batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
+        for _ in range(cfg.n_layers)
+    )

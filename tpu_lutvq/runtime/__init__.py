@@ -1,0 +1,2 @@
+from tpu_lutvq.runtime.generate import GenerationResult, generate  # noqa: F401
+from tpu_lutvq.runtime.batching import ContinuousBatcher, Request  # noqa: F401

@@ -1,0 +1,159 @@
+"""Continuous batching scheduler.
+
+Slot-based continuous batching over the static-shape decode step: a fixed
+number of sequence slots share one batched KV cache; finished sequences free
+their slot and pending requests are admitted with a B=1 prefill whose cache
+is scattered into the slot (``write_cache_slot``).  Device work is two jitted
+programs (prefill, decode step); all scheduling is host-side Python.
+
+The reference has nothing like this (its GEMV benchmarks are single-shot);
+this is the "continuous batching across hosts" capability of the north star
+(BASELINE.json config 4) in its single-host form — the multi-host form
+composes this with the ``tpu_lutvq.dist`` mesh sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lutvq.models.kv_cache import KVCache, write_cache_slot
+from tpu_lutvq.models.llama import (
+    LlamaConfig,
+    LlamaWeights,
+    init_caches,
+    llama_decode_step,
+    llama_forward,
+)
+from tpu_lutvq.runtime.generate import sample_logits
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: list[int]
+    max_new_tokens: int
+    temperature: float = 0.0
+    eos_id: Optional[int] = None
+    # filled by the scheduler:
+    output: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Admit → step → collect loop over a fixed slot pool."""
+
+    def __init__(
+        self,
+        cfg: LlamaConfig,
+        weights: LlamaWeights,
+        n_slots: int = 8,
+        strategy: str = "auto",
+        interpret: bool = False,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.weights = weights
+        self.n_slots = n_slots
+        self.pending: list[Request] = []
+        self.active: list[Optional[Request]] = [None] * n_slots
+        self.slot_pos = np.zeros(n_slots, np.int32)  # next write position
+        self.caches = init_caches(cfg, n_slots)
+        self.key = jax.random.PRNGKey(seed)
+        self._prefill = jax.jit(
+            functools.partial(llama_forward, cfg, strategy=strategy, interpret=interpret)
+        )
+        self._step = jax.jit(
+            functools.partial(
+                llama_decode_step, cfg, strategy=strategy, interpret=interpret
+            )
+        )
+        self.completed: list[Request] = []
+
+    # -- public API --
+
+    def submit(self, req: Request) -> None:
+        if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq:
+            raise ValueError("request exceeds max_seq")
+        self.pending.append(req)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.pending) or any(r is not None for r in self.active)
+
+    def run(self, max_steps: int = 100000) -> list[Request]:
+        steps = 0
+        while self.has_work and steps < max_steps:
+            self.step()
+            steps += 1
+        done, self.completed = self.completed, []
+        return done
+
+    # -- scheduler internals --
+
+    def _admit(self) -> None:
+        for slot in range(self.n_slots):
+            if self.active[slot] is not None or not self.pending:
+                continue
+            req = self.pending.pop(0)
+            prompt = jnp.asarray([req.prompt], jnp.int32)  # (1, T0)
+            small = init_caches(self.cfg, 1)
+            logits, small = self._prefill(
+                self.weights, prompt, small, jnp.int32(0)
+            )
+            self.caches = tuple(
+                write_cache_slot(big, s, slot) for big, s in zip(self.caches, small)
+            )
+            self.key, sub = jax.random.split(self.key)
+            tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
+            req.output.append(tok)
+            self._maybe_finish(req, slot_len=len(req.prompt) + 1)
+            if not req.done:
+                self.active[slot] = req
+                self.slot_pos[slot] = len(req.prompt) + 1
+            else:
+                self.completed.append(req)
+
+    def _maybe_finish(self, req: Request, slot_len: int) -> None:
+        if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
+            req.done = True
+        if len(req.output) >= req.max_new_tokens:
+            req.done = True
+        if slot_len >= self.cfg.max_seq:
+            req.done = True
+
+    def step(self) -> None:
+        self._admit()
+        slots = [i for i, r in enumerate(self.active) if r is not None]
+        if not slots:
+            return
+        # batched decode over all slots; inactive slots decode garbage at pos 0
+        tokens = np.zeros(self.n_slots, np.int32)
+        pos = np.zeros(self.n_slots, np.int32)
+        for i in slots:
+            tokens[i] = self.active[i].output[-1]
+            pos[i] = self.slot_pos[i] - 1  # position of the token being fed
+        logits, self.caches = self._step(
+            self.weights,
+            jnp.asarray(tokens),
+            self.caches,
+            jnp.asarray(pos),
+        )
+        self.key, sub = jax.random.split(self.key)
+        # per-slot sampling (temperature can differ per request)
+        for i in slots:
+            req = self.active[i]
+            tok = int(
+                sample_logits(logits[i : i + 1], jax.random.fold_in(sub, i), req.temperature)[0]
+            )
+            req.output.append(tok)
+            self.slot_pos[i] += 1
+            self._maybe_finish(req, slot_len=int(self.slot_pos[i]))
+            if req.done:
+                self.completed.append(req)
+                self.active[i] = None

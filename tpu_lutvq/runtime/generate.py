@@ -1,0 +1,98 @@
+"""Decode loop: prefill + autoregressive generation.
+
+The reference stops at single-layer GEMV benchmarks; this is the serving
+loop those kernels exist for.  The step function is jitted once (static
+shapes; cache carried as explicit pytree state) — no data-dependent Python
+control flow inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.models.llama import (
+    LlamaConfig,
+    LlamaWeights,
+    init_caches,
+    llama_decode_step,
+    llama_forward,
+)
+
+
+class GenerationResult(NamedTuple):
+    tokens: jax.Array  # (B, prompt_len + max_new) int32
+    lengths: jax.Array  # (B,) total valid length per sequence
+
+
+def sample_logits(
+    logits: jax.Array, key: jax.Array, temperature: float = 0.0, top_k: int = 0
+) -> jax.Array:
+    """(B, vocab) → (B,) sampled token ids.  temperature 0 = greedy."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def generate(
+    cfg: LlamaConfig,
+    weights: LlamaWeights,
+    prompt: jax.Array,  # (B, T0) int32
+    max_new_tokens: int,
+    *,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    eos_id: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    strategy: str = "auto",
+    interpret: bool = False,
+    jit: bool = True,
+) -> GenerationResult:
+    """Prefill the prompt, then decode ``max_new_tokens`` greedily/sampled."""
+    b, t0 = prompt.shape
+    if t0 + max_new_tokens > cfg.max_seq:
+        raise ValueError(
+            f"prompt({t0}) + max_new({max_new_tokens}) exceeds max_seq={cfg.max_seq}"
+        )
+    key = key if key is not None else jax.random.PRNGKey(0)
+    caches = init_caches(cfg, b)
+
+    prefill = functools.partial(
+        llama_forward, cfg, strategy=strategy, interpret=interpret
+    )
+    step = functools.partial(
+        llama_decode_step, cfg, strategy=strategy, interpret=interpret
+    )
+    if jit:
+        prefill = jax.jit(prefill)
+        step = jax.jit(step)
+
+    logits, caches = prefill(weights, prompt, caches, jnp.int32(0))
+    key, sub = jax.random.split(key)
+    next_tok = sample_logits(logits[:, -1], sub, temperature, top_k)
+
+    out = [next_tok]
+    done = jnp.zeros((b,), jnp.bool_)
+    lengths = jnp.full((b,), t0 + 1, jnp.int32)
+    for i in range(1, max_new_tokens):
+        if eos_id is not None:
+            done = done | (next_tok == eos_id)
+            if bool(jnp.all(done)):
+                break
+        logits, caches = step(weights, next_tok, caches, jnp.int32(t0 + i - 1))
+        key, sub = jax.random.split(key)
+        next_tok = sample_logits(logits, sub, temperature, top_k)
+        if eos_id is not None:
+            next_tok = jnp.where(done, eos_id, next_tok)
+        lengths = lengths + (~done).astype(jnp.int32)
+        out.append(next_tok)
+    tokens = jnp.concatenate([prompt, jnp.stack(out, axis=1)], axis=1)
+    return GenerationResult(tokens=tokens, lengths=lengths)

@@ -1,0 +1,94 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Config 1 of BASELINE.json: fused LUT-VQ GEMV, 4096×4096 layer, 2x8 codebooks,
+batch-1 decode on one chip.  Metric: achieved HBM bandwidth (total kernel
+bytes / measured time) as % of the chip's HBM roofline — the north-star
+"fused LUT-GEMV % of HBM roofline".
+
+Timing notes: on the axon-tunneled TPU, ``block_until_ready`` returns early
+and dispatch costs ~35 ms, so the kernel is repeated N times inside one
+dispatch with a data dependency chaining iterations (no CSE/hoisting) and
+synced by fetching a scalar; the 1-rep time is subtracted
+(see exp/probe_calib*.py for the derivation).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _timed(f, x, n=256, repeats=3):
+    def rep_fn(k):
+        @jax.jit
+        def rep(x):
+            def body(i, carry):
+                acc, xx = carry
+                out = f(xx)
+                s = jnp.sum(out[:1, :1])
+                return (acc + s, xx + s * 1e-30)
+
+            acc, _ = jax.lax.fori_loop(0, k, body, (0.0, x))
+            return acc
+
+        return rep
+
+    repn, rep1 = rep_fn(n), rep_fn(1)
+    float(repn(x))
+    float(rep1(x))
+    best_n = best_1 = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(repn(x))
+        best_n = min(best_n, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(rep1(x))
+        best_1 = min(best_1, time.perf_counter() - t0)
+    return (best_n - best_1) / (n - 1)
+
+
+def main():
+    from tpu_lutvq.core.config import aqlm_2x8
+    from tpu_lutvq.core.params import init_vq_params
+    from tpu_lutvq.dataflow.chips import CHIPS
+    from tpu_lutvq.kernels import lut_gemv, pack_params
+
+    d_in = d_out = 4096
+    cfg = aqlm_2x8(d_in, group=8)
+    params = init_vq_params(
+        jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32, with_scales=True
+    )
+    packed = pack_params(cfg, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, d_in), dtype=jnp.float32)
+
+    f = lambda x: lut_gemv(cfg, packed, x)
+    dt = _timed(f, x)
+
+    chip = CHIPS["v5e"]
+    kp = max(cfg.n_cluster, 128)
+    lut_bytes = 2 * cfg.n_groups * kp * 4  # write + read of the per-token LUT
+    total_bytes = (
+        packed.codes_t.size  # codes, uint8, read once
+        + cfg.codebook_bytes(4)  # f32 codebooks for LUT build
+        + lut_bytes
+        + x.size * 4
+        + d_out * 4
+    )
+    achieved = total_bytes / dt
+    pct = achieved / chip.hbm_gbps * 100.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "lut_gemv_hbm_roofline_pct",
+                "value": round(pct, 2),
+                "unit": "% of v5e HBM roofline (4096x4096 AQLM-2x8 GEMV, B=1)",
+                "vs_baseline": round(pct / 80.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

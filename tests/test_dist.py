@@ -1,0 +1,102 @@
+"""Tensor-parallel tests on a virtual 8-device CPU mesh (the reference has
+no distribution; this validates the new mesh layer per SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.dist import (
+    make_mesh,
+    make_tp_mesh,
+    make_tp_decode_step,
+    make_tp_prefill,
+    shard_llama_tp,
+)
+from tpu_lutvq.dist.tp import init_tp_caches, local_tp_config
+from tpu_lutvq.models import LlamaConfig, init_llama
+from tpu_lutvq.models.llama import init_caches, llama_decode_step, llama_forward
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs ≥4 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    # sized so group counts stay sublane-aligned at tp=4:
+    # hidden=256: G=64 → 16/device; ffn=512: G=128 → 32/device
+    cfg = LlamaConfig.tiny(
+        hidden=256, ffn=512, n_heads=8, n_kv_heads=4, n_layers=2, max_seq=32,
+        vocab_size=128,
+    )
+    weights = init_llama(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    return cfg, weights
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_decode_matches_single_device(model, tp):
+    cfg, weights = model
+    mesh = make_tp_mesh(tp)
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    step = make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True)
+
+    batch = 2
+    tokens = jnp.asarray([5, 9], jnp.int32)
+    pos = jnp.zeros((batch,), jnp.int32)
+    caches_tp = init_tp_caches(cfg, batch, mesh)
+    logits_tp, caches_tp = step(sharded, tokens, caches_tp, pos)
+
+    caches_1 = init_caches(cfg, batch)
+    logits_1, caches_1 = llama_decode_step(
+        cfg, weights, tokens, caches_1, pos, strategy="dequant_mm", interpret=True
+    )
+    # psum reduction order differs from single-device summation; through the
+    # int8 KV quantizer a boundary value can flip one count → few-element 1e-3
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_1), rtol=5e-3, atol=5e-3
+    )
+    # caches must agree too (concatenated over the head shards)
+    k_tp = np.asarray(jax.device_get(caches_tp[0].k_q))
+    k_1 = np.asarray(caches_1[0].k_q)
+    np.testing.assert_allclose(k_tp, k_1, atol=1)  # int8: allow off-by-one rounding
+
+
+def test_tp_prefill_then_decode(model):
+    cfg, weights = model
+    tp = 2
+    mesh = make_tp_mesh(tp)
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    prefill = make_tp_prefill(cfg, mesh, strategy="dequant_mm", interpret=True)
+    step = make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True)
+
+    tokens = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    caches = init_tp_caches(cfg, 1, mesh)
+    logits, caches = prefill(sharded, tokens, caches, jnp.zeros((1,), jnp.int32))
+    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    logits2, caches = step(sharded, nxt, caches, jnp.full((1,), 5, jnp.int32))
+
+    # reference: single-device full forward over 6 tokens
+    full = jnp.concatenate([tokens, nxt[:, None]], axis=1)
+    ref_logits, _ = llama_forward(
+        cfg, weights, full, init_caches(cfg, 1), jnp.int32(0),
+        strategy="dequant_mm", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(ref_logits[:, -1]), rtol=0.05, atol=0.05
+    )
+
+
+def test_local_tp_config_validation():
+    cfg = LlamaConfig.tiny(n_heads=4, n_kv_heads=2)
+    with pytest.raises(ValueError, match="divide"):
+        local_tp_config(cfg, 8)
+    loc = local_tp_config(cfg, 2)
+    assert loc.n_heads == 2 and loc.n_kv_heads == 1
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh(2, 4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(4, 4)

@@ -1,0 +1,8 @@
+from tpu_lutvq.dist.mesh import make_mesh, make_tp_mesh  # noqa: F401
+from tpu_lutvq.dist.tp import (  # noqa: F401
+    local_tp_config,
+    make_tp_decode_step,
+    make_tp_prefill,
+    shard_llama_tp,
+    tp_weight_specs,
+)

@@ -1,0 +1,31 @@
+"""Device mesh construction.
+
+The reference has no distribution at all (SURVEY.md §2.3); the TPU-native
+communication layer is XLA collectives over a ``jax.sharding.Mesh`` — ICI
+within a pod slice, DCN across hosts — instead of NCCL/MPI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_tp_mesh(n_devices: Optional[int] = None, axis: str = "tp") -> Mesh:
+    """1-D tensor-parallel mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def make_mesh(dp: int, tp: int, axes: tuple[str, str] = ("dp", "tp")) -> Mesh:
+    """2-D data × tensor mesh.  TP is the minor (fastest-varying) axis so TP
+    collectives ride neighboring ICI links."""
+    devs = jax.devices()
+    if dp * tp > len(devs):
+        raise ValueError(f"need {dp*tp} devices, have {len(devs)}")
+    grid = np.asarray(devs[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, axes)

@@ -1,0 +1,319 @@
+"""Tensor-parallel sharding of the quantized Llama over a device mesh.
+
+Megatron-style TP re-expressed for LUT-VQ weights (a first-class new
+capability — the reference is single-core, SURVEY.md §2.3):
+
+- **column-parallel** (wq/wk/wv/w_gate/w_up): codes sharded on the *output*
+  axis — each device streams only its share of the code bytes and computes
+  its head/ffn shard.  Codebooks/LUTs replicated (they are the small,
+  VMEM-resident part — exactly the VeLU property worth preserving).
+- **row-parallel** (wo/w_down): codes sharded on the *input-group* axis;
+  each device looks up partial sums for its subvector groups, reduced with
+  ``psum`` over the TP axis.  Row-parallel code rows are re-packed so each
+  device's shard is its own contiguous n-major block, aligned with the
+  activation shard produced by the preceding column-parallel layer.
+
+Everything runs inside one ``shard_map`` over the mesh: the model body
+(models/llama.py) sees per-device local shapes and a ``axis_name`` for the
+two psums per layer; XLA lowers those to ICI all-reduces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.kernels.lut_gemv import PackedVQ
+from tpu_lutvq.models.kv_cache import KVCache
+from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear
+from tpu_lutvq.models.llama import (
+    LayerWeights,
+    LlamaConfig,
+    LlamaWeights,
+    llama_decode_step,
+    llama_forward,
+)
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def local_tp_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
+    """Per-device view of the model under TP: heads and ffn divided."""
+    if cfg.n_heads % tp or cfg.n_kv_heads % tp or cfg.ffn % tp:
+        raise ValueError(f"n_heads={cfg.n_heads}, n_kv_heads={cfg.n_kv_heads}, "
+                         f"ffn={cfg.ffn} must all divide by tp={tp}")
+    return dataclasses.replace(
+        cfg,
+        n_heads=cfg.n_heads // tp,
+        n_kv_heads=cfg.n_kv_heads // tp,
+        ffn=cfg.ffn // tp,
+        head_dim_override=cfg.head_dim,
+    )
+
+
+def repack_row_parallel(vq_cfg: VQConfig, packed: PackedVQ, tp: int) -> PackedVQ:
+    """Reorder a row-parallel layer's code rows into per-shard blocks.
+
+    Global n-major rows ``g = n·M + m`` become
+    ``g' = p·(N·M/tp) + n·(M/tp) + m_local`` so a contiguous axis-0 shard is
+    a valid n-major layout over the device's own subvectors (matching the
+    sharded activation it consumes).  The codebook (if per-subvector) is
+    already m-contiguous on axis 0 and shards without reordering.
+    """
+    m_, n_ = vq_cfg.n_subvec, vq_cfg.n_codebook
+    g = m_ * n_
+    if m_ % tp:
+        raise ValueError(f"n_subvec={m_} must divide by tp={tp}")
+    ml = m_ // tp
+    g_pad = packed.codes_t.shape[0]
+    rows = packed.codes_t[:g]
+    rows = rows.reshape(n_, tp, ml, -1).transpose(1, 0, 2, 3).reshape(g, -1)
+    local_g = g // tp
+    if local_g % 8:
+        raise ValueError(
+            f"per-device group count {local_g} not sublane-aligned (need %8==0)"
+        )
+    codes_t = rows  # local G is aligned; no global re-pad needed
+    return PackedVQ(
+        codes_t=codes_t,
+        codebook=packed.codebook,
+        scales=packed.scales,
+        d_out=packed.d_out,
+    )
+
+
+def repack_column_parallel(packed: PackedVQ, tp: int) -> PackedVQ:
+    """Re-pad a column-parallel layer per shard chunk so axis-1 sharding
+    hands each device a lane-aligned block (see pack_params shards doc)."""
+    if tp == 1:
+        return packed
+    from tpu_lutvq.kernels.lut_gemv import LANE, _round_up
+
+    d_out = packed.d_out
+    if d_out % tp:
+        raise ValueError(f"d_out={d_out} must divide by tp={tp}")
+    local = d_out // tp
+    lp = _round_up(local, LANE)
+
+    def chunk(arr, fill):
+        parts = [
+            jnp.pad(
+                arr[:, s * local : (s + 1) * local],
+                ((0, 0), (0, lp - local)),
+                constant_values=fill,
+            )
+            for s in range(tp)
+        ]
+        return jnp.concatenate(parts, axis=1)
+
+    return PackedVQ(
+        codes_t=chunk(packed.codes_t[:, :d_out], 0),
+        codebook=packed.codebook,
+        scales=None if packed.scales is None else chunk(packed.scales[:, :d_out], 1.0),
+        d_out=d_out,
+        shards=tp,
+    )
+
+
+def _packed_spec(
+    column: bool, shared_cb: bool, axis: str, has_scales: bool, d_out: int, shards: int
+) -> PackedVQ:
+    """PartitionSpec tree for one PackedVQ (aux mirrors the real tree so
+    treedefs match under jax.tree.map)."""
+    if column:  # shard output dim
+        return PackedVQ(
+            codes_t=P(None, axis),
+            codebook=P(),
+            scales=P(None, axis) if has_scales else None,
+            d_out=d_out,
+            shards=shards,
+        )
+    # row-parallel: shard group axis (+ codebook subvectors if per-subvector)
+    return PackedVQ(
+        codes_t=P(axis, None),
+        codebook=P() if shared_cb else P(axis),
+        scales=P() if has_scales else None,
+        d_out=d_out,
+        shards=shards,
+    )
+
+
+def tp_weight_specs(cfg: LlamaConfig, weights: LlamaWeights, axis: str = "tp") -> LlamaWeights:
+    """PartitionSpec pytree matching a LlamaWeights instance."""
+    vq_h = cfg.vq_cfg(cfg.hidden)
+    vq_f = cfg.vq_cfg(cfg.ffn)
+
+    def qspec(layer_w: QuantizedLinear, column: bool, shared: bool) -> QuantizedLinear:
+        has_scales = layer_w.packed.scales is not None
+        return QuantizedLinear(
+            packed=_packed_spec(
+                column, shared, axis, has_scales,
+                layer_w.packed.d_out, layer_w.packed.shards,
+            )
+        )
+
+    def layer_spec(lw: LayerWeights) -> LayerWeights:
+        return LayerWeights(
+            attn_norm=P(),
+            mlp_norm=P(),
+            wq=qspec(lw.wq, True, vq_h.shared_codebook),
+            wk=qspec(lw.wk, True, vq_h.shared_codebook),
+            wv=qspec(lw.wv, True, vq_h.shared_codebook),
+            wo=qspec(lw.wo, False, vq_h.shared_codebook),
+            w_gate=qspec(lw.w_gate, True, vq_h.shared_codebook),
+            w_up=qspec(lw.w_up, True, vq_h.shared_codebook),
+            w_down=qspec(lw.w_down, False, vq_f.shared_codebook),
+        )
+
+    return LlamaWeights(
+        embed=P(),
+        layers=tuple(layer_spec(lw) for lw in weights.layers),
+        final_norm=P(),
+        lm_head=DenseLinear(w=P()),
+    )
+
+
+def cache_specs(n_layers: int, axis: str = "tp") -> tuple[KVCache, ...]:
+    one = KVCache(
+        k_q=P(None, None, axis, None),
+        v_q=P(None, None, axis, None),
+        k_scale=P(None, None, axis),
+        v_scale=P(None, None, axis),
+    )
+    return tuple(one for _ in range(n_layers))
+
+
+def shard_llama_tp(
+    cfg: LlamaConfig, weights: LlamaWeights, mesh: Mesh, axis: str = "tp"
+) -> LlamaWeights:
+    """Re-pack row-parallel layers and place every leaf with its TP sharding."""
+    tp = mesh.shape[axis]
+    vq_h = cfg.vq_cfg(cfg.hidden)
+    vq_f = cfg.vq_cfg(cfg.ffn)
+
+    def fix_layer(lw: LayerWeights) -> LayerWeights:
+        col = lambda q: QuantizedLinear(packed=repack_column_parallel(q.packed, tp))
+        return lw._replace(
+            wq=col(lw.wq),
+            wk=col(lw.wk),
+            wv=col(lw.wv),
+            w_gate=col(lw.w_gate),
+            w_up=col(lw.w_up),
+            wo=QuantizedLinear(packed=repack_row_parallel(vq_h, lw.wo.packed, tp)),
+            w_down=QuantizedLinear(packed=repack_row_parallel(vq_f, lw.w_down.packed, tp)),
+        )
+
+    weights = weights._replace(layers=tuple(fix_layer(lw) for lw in weights.layers))
+    specs = tp_weight_specs(cfg, weights, axis)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P) or x is None,
+    )
+    return jax.tree.map(
+        lambda w, s: jax.device_put(w, s) if s is not None else w, weights, shardings
+    )
+
+
+def _row_parallel_d_out_fix(local_cfg: LlamaConfig, weights: LlamaWeights) -> None:
+    pass  # d_out of row-parallel layers is global (hidden); nothing to fix
+
+
+def make_tp_decode_step(
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    axis: str = "tp",
+    strategy: str = "auto",
+    interpret: bool = False,
+):
+    """Jitted SPMD decode step: (weights, tokens (B,), caches, pos) →
+    (logits (B, vocab), caches)."""
+    tp = mesh.shape[axis]
+    local_cfg = local_tp_config(cfg, tp)
+
+    def body(weights, tokens, caches, pos):
+        return llama_decode_step(
+            local_cfg,
+            weights,
+            tokens,
+            caches,
+            pos,
+            strategy=strategy,
+            interpret=interpret,
+            axis_name=axis,
+        )
+
+    def build_in_specs(weights):
+        wspecs = tp_weight_specs(cfg, weights, axis)
+        return (wspecs, P(), cache_specs(cfg.n_layers, axis), P())
+
+    def wrapped(weights, tokens, caches, pos):
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=build_in_specs(weights),
+            out_specs=(P(), cache_specs(cfg.n_layers, axis)),
+            check_vma=False,
+        )
+        return fn(weights, tokens, caches, pos)
+
+    return jax.jit(wrapped)
+
+
+def make_tp_prefill(
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    axis: str = "tp",
+    strategy: str = "auto",
+    interpret: bool = False,
+):
+    """Jitted SPMD prefill: (weights, tokens (B,T), caches, pos) →
+    (logits (B,T,vocab), caches)."""
+    tp = mesh.shape[axis]
+    local_cfg = local_tp_config(cfg, tp)
+
+    def body(weights, tokens, caches, pos):
+        return llama_forward(
+            local_cfg,
+            weights,
+            tokens,
+            caches,
+            pos,
+            strategy=strategy,
+            interpret=interpret,
+            axis_name=axis,
+        )
+
+    def wrapped(weights, tokens, caches, pos):
+        wspecs = tp_weight_specs(cfg, weights, axis)
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(wspecs, P(), cache_specs(cfg.n_layers, axis), P()),
+            out_specs=(P(), cache_specs(cfg.n_layers, axis)),
+            check_vma=False,
+        )
+        return fn(weights, tokens, caches, pos)
+
+    return jax.jit(wrapped)
+
+
+def init_tp_caches(cfg: LlamaConfig, batch: int, mesh: Mesh, axis: str = "tp"):
+    """Batched KV caches sharded over heads on the TP axis."""
+    from tpu_lutvq.models.llama import init_caches
+
+    caches = init_caches(cfg, batch)
+    specs = cache_specs(cfg.n_layers, axis)
+    return jax.tree.map(
+        lambda c, s: jax.device_put(c, NamedSharding(mesh, s)), caches, specs
+    )

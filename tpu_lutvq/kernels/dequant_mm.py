@@ -29,7 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lutvq.core.config import VQConfig
 from tpu_lutvq.core.params import broadcast_codebook
 from tpu_lutvq.kernels.lut_ctor import LANE
-from tpu_lutvq.kernels.lut_gemv import PackedVQ, _round_up
+from tpu_lutvq.kernels.lut_gemv import (
+    PackedVQ,
+    _resolve_block,
+    _round_up,
+    _valid_width,
+)
 
 DEFAULT_BLOCK_J = 512
 MAX_BATCH_TILE = 256
@@ -156,7 +161,8 @@ def dequant_matmul(
         x.astype(jnp.float32).reshape(b, m, d), (0, 2, 1)
     ).reshape(b, d * m)
 
-    bj = min(block_j, d_out_pad)
+    valid = _valid_width(packed)
+    bj = _resolve_block(d_out_pad, block_j)
     scales = packed.scales
     has_scales = scales is not None
     if scales is None:
@@ -184,4 +190,4 @@ def dequant_matmul(
         scratch_shapes=[pltpu.VMEM((d * m, LANE), jnp.float32)],
         interpret=interpret,
     )(tables, packed.codes_t, x_perm, scales)
-    return out[:, : packed.d_out]
+    return out[:, :valid]

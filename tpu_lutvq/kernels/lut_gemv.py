@@ -46,6 +46,29 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _resolve_block(width: int, block_j: int) -> int:
+    """Largest lane-multiple ≤ block_j that divides the padded width."""
+    for b in range(min(block_j, width) // LANE * LANE, 0, -LANE):
+        if width % b == 0:
+            return b
+    raise ValueError(f"width {width} not a multiple of {LANE}")
+
+
+def _valid_width(packed: PackedVQ) -> int:
+    """Valid output count for the array view the kernel actually sees."""
+    width = packed.codes_t.shape[1]
+    if packed.shards == 1:
+        return packed.d_out
+    local = packed.local_d_out
+    lp = _round_up(local, LANE)
+    if width == lp:
+        return local  # per-device chunk inside shard_map
+    raise ValueError(
+        "shard-packed weights (shards>1) must be consumed inside shard_map; "
+        f"got width {width}, expected per-device {lp}"
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PackedVQ:
@@ -63,32 +86,75 @@ class PackedVQ:
     codebook: jax.Array
     scales: Optional[jax.Array]
     d_out: int
+    shards: int = 1  # column-parallel TP shards this array was packed for
+
+    @property
+    def local_d_out(self) -> int:
+        """Valid outputs per shard (== d_out when unsharded).  Shard-packed
+        arrays (shards > 1) place padding per shard chunk and must be consumed
+        inside shard_map, where each device sees exactly one chunk."""
+        return self.d_out // self.shards
 
     def tree_flatten(self):
-        return (self.codes_t, self.codebook, self.scales), self.d_out
+        return (self.codes_t, self.codebook, self.scales), (self.d_out, self.shards)
 
     @classmethod
-    def tree_unflatten(cls, d_out, children):
+    def tree_unflatten(cls, aux, children):
         codes_t, codebook, scales = children
-        return cls(codes_t=codes_t, codebook=codebook, scales=scales, d_out=d_out)
+        d_out, shards = aux
+        return cls(
+            codes_t=codes_t, codebook=codebook, scales=scales, d_out=d_out, shards=shards
+        )
 
 
-def pack_params(cfg: VQConfig, params: VQParams, block_j: int = DEFAULT_BLOCK_J) -> PackedVQ:
-    """Transpose codes to ``(G, d_out)`` and pad both axes for the kernel."""
+def pack_params(
+    cfg: VQConfig,
+    params: VQParams,
+    block_j: int = DEFAULT_BLOCK_J,
+    shards: int = 1,
+) -> PackedVQ:
+    """Transpose codes to ``(G, d_out)`` (n-major groups) and pad for the
+    kernel.  With ``shards > 1`` (column-parallel TP), each shard's chunk is
+    padded independently so axis-1 sharding gives every device an aligned,
+    self-contained block (Llama dims like 11008/8 = 1376 are not
+    lane-aligned, so global-end padding would misalign shard boundaries)."""
     d_out = params.codes.shape[0]
+    if d_out % shards:
+        raise ValueError(f"d_out={d_out} must divide by shards={shards}")
     g_pad = _round_up(cfg.n_groups, 8)
-    d_out_pad = _round_up(d_out, min(block_j, _round_up(d_out, LANE)))
-    d_out_pad = _round_up(d_out_pad, LANE)
     # (d_out, M, N) -> n-major (N, M, d_out) -> (G, d_out)
     codes_t = jnp.transpose(params.codes, (2, 1, 0)).reshape(
         cfg.n_groups, d_out
     ).astype(jnp.uint8)
-    codes_t = jnp.pad(codes_t, ((0, g_pad - cfg.n_groups), (0, d_out_pad - d_out)))
+    codes_t = jnp.pad(codes_t, ((0, g_pad - cfg.n_groups), (0, 0)))
     scales = None
     if params.scales is not None:
-        s = params.scales.astype(jnp.float32).reshape(1, d_out)
-        scales = jnp.pad(s, ((0, 0), (0, d_out_pad - d_out)), constant_values=1.0)
-    return PackedVQ(codes_t=codes_t, codebook=params.codebook, scales=scales, d_out=d_out)
+        scales = params.scales.astype(jnp.float32).reshape(1, d_out)
+
+    local = d_out // shards
+    local_pad = _round_up(local, LANE)
+
+    def pad_chunks(arr, fill):
+        chunks = [
+            jnp.pad(
+                arr[:, s * local : (s + 1) * local],
+                ((0, 0), (0, local_pad - local)),
+                constant_values=fill,
+            )
+            for s in range(shards)
+        ]
+        return chunks[0] if shards == 1 else jnp.concatenate(chunks, axis=1)
+
+    codes_t = pad_chunks(codes_t, 0)
+    if scales is not None:
+        scales = pad_chunks(scales, 1.0)
+    return PackedVQ(
+        codes_t=codes_t,
+        codebook=params.codebook,
+        scales=scales,
+        d_out=d_out,
+        shards=shards,
+    )
 
 
 def _gemv_kernel(lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, k, block_j, has_scales):
@@ -149,7 +215,8 @@ def _lut_gemv_packed(
             lut.reshape(batch, lut.shape[1], kp),
             ((0, 0), (0, g_pad - lut.shape[1]), (0, 0)),
         ).reshape(batch * g_pad, kp)
-    bj = min(block_j, d_out_pad)
+    valid = _valid_width(packed)
+    bj = _resolve_block(d_out_pad, block_j)
     scales = packed.scales
     has_scales = scales is not None
     if scales is None:
@@ -178,7 +245,7 @@ def _lut_gemv_packed(
         out_shape=jax.ShapeDtypeStruct((batch, d_out_pad), jnp.float32),
         interpret=interpret,
     )(lut2, packed.codes_t, scales)
-    return out[:, : packed.d_out]
+    return out[:, :valid]
 
 
 def lut_gemv(

@@ -79,7 +79,7 @@ class QuantizedLinear(NamedTuple):
             y = xb.astype(jnp.float32) @ w.T
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
-        return y.reshape(*lead, self.packed.d_out)
+        return y.reshape(*lead, y.shape[-1])
 
 
 def make_quantized_linear(

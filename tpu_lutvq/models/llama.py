@@ -37,9 +37,13 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_seq: int = 2048
     group: int = 8  # AQLM group size (codes per d_subvec weights)
+    head_dim_override: Optional[int] = None  # set by local_tp_config: head_dim
+    # is a global property and must survive n_heads being divided per device
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden // self.n_heads
 
     @property
@@ -186,9 +190,11 @@ def _block(
     pos: jax.Array,  # (B,) int32: index of first new token per sequence
     strategy: str,
     interpret: bool,
+    axis_name: Optional[str] = None,  # TP mesh axis: psum row-parallel outputs
 ) -> tuple[jax.Array, KVCache]:
     b, t, h = x.shape
     vq_h = cfg.vq_cfg(cfg.hidden)
+    vq_o = cfg.vq_cfg(cfg.q_dim)  # == vq_h unless heads are TP-sharded
     vq_f = cfg.vq_cfg(cfg.ffn)
     kw = dict(strategy=strategy, interpret=interpret)
 
@@ -201,12 +207,18 @@ def _block(
     k = rope(k, tpos, cfg.rope_theta)
     cache = update_cache(cache, k, v, pos)
     attn = _attention(cfg, q, cache, pos)
-    x = x + lw.wo.apply(vq_h, attn, **kw)
+    attn_out = lw.wo.apply(vq_o, attn, **kw)
+    if axis_name is not None:  # row-parallel over head shards
+        attn_out = jax.lax.psum(attn_out, axis_name)
+    x = x + attn_out
 
     xn = rms_norm(x, lw.mlp_norm, cfg.rms_eps)
     gate = lw.w_gate.apply(vq_h, xn, **kw)
     up = lw.w_up.apply(vq_h, xn, **kw)
-    x = x + lw.w_down.apply(vq_f, jax.nn.silu(gate) * up, **kw)
+    mlp_out = lw.w_down.apply(vq_f, jax.nn.silu(gate) * up, **kw)
+    if axis_name is not None:  # row-parallel over ffn shards
+        mlp_out = jax.lax.psum(mlp_out, axis_name)
+    x = x + mlp_out
     return x, cache
 
 
@@ -219,8 +231,13 @@ def llama_forward(
     *,
     strategy: str = "auto",
     interpret: bool = False,
+    axis_name: Optional[str] = None,
 ) -> tuple[jax.Array, tuple[KVCache, ...]]:
     """Forward pass over T new tokens at absolute position(s) ``pos``.
+
+    With ``axis_name`` set (inside shard_map over a TP mesh axis) the layer
+    dims in ``cfg`` must be the per-device locals; row-parallel projections
+    are psum-reduced over the axis.
 
     Returns (logits (B, T, vocab) float32, updated caches).
     """
@@ -230,7 +247,7 @@ def llama_forward(
     x = weights.embed[tokens].astype(jnp.float32)
     new_caches = []
     for lw, cache in zip(weights.layers, caches):
-        x, cache = _block(cfg, lw, x, cache, pos, strategy, interpret)
+        x, cache = _block(cfg, lw, x, cache, pos, strategy, interpret, axis_name)
         new_caches.append(cache)
     x = rms_norm(x, weights.final_norm, cfg.rms_eps)
     logits = weights.lm_head(x).astype(jnp.float32)

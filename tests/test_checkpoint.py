@@ -1,0 +1,133 @@
+"""Checkpoint loader tests against synthetic checkpoints in the exact AQLM
+HF safetensors layout (we have no network; the format is what's tested).
+
+Bit-exactness: dequantization is a pure table lookup + additive sum
+(vq.py:269-278), so the loaded QuantizedLinear's dense reconstruction must
+EQUAL an independent NumPy dequantizer, not merely approximate it.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_lutvq.models import LlamaConfig
+from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear
+from tpu_lutvq.models.llama import init_caches, llama_forward
+from tpu_lutvq.runtime.checkpoint import (
+    aqlm_layer_config,
+    load_aqlm_linear,
+    load_aqlm_llama,
+    open_checkpoint,
+)
+
+
+def synth_aqlm_tensors(prefix, d_in, d_out, g, n_cb, k, rng, codes_dtype):
+    """Build one projection's tensors in AQLM HF format."""
+    m = d_in // g
+    codebooks = rng.randn(n_cb, k, 1, g).astype(np.float16)
+    codes_u = rng.randint(0, k, size=(d_out, m, n_cb))
+    if codes_dtype == np.int8:
+        codes = codes_u.astype(np.uint8).view(np.int8).reshape(d_out, m, n_cb)
+    elif codes_dtype == np.int16:
+        codes = codes_u.astype(np.uint16).view(np.int16).reshape(d_out, m, n_cb)
+    else:
+        codes = codes_u.astype(codes_dtype)
+    scales = (1 + 0.05 * rng.randn(d_out, 1, 1, 1)).astype(np.float16)
+    return {
+        f"{prefix}.codes": codes,
+        f"{prefix}.codebooks": codebooks,
+        f"{prefix}.scales": scales,
+    }, codes_u
+
+
+def numpy_dequant(tensors, prefix, codes_u):
+    cb = tensors[f"{prefix}.codebooks"].astype(np.float32)[:, :, 0, :]  # (N,K,g)
+    sc = tensors[f"{prefix}.scales"].reshape(-1).astype(np.float32)
+    d_out, m, n_cb = codes_u.shape
+    w = np.zeros((d_out, m * cb.shape[-1]), np.float32)
+    for n in range(n_cb):
+        w += cb[n][codes_u[:, :, n]].reshape(d_out, -1)
+    return w * sc[:, None]
+
+
+def test_load_2x8_bit_exact_dequant():
+    rng = np.random.RandomState(0)
+    tensors, codes_u = synth_aqlm_tensors("proj", 64, 48, 8, 2, 256, rng, np.int8)
+    layer, cfg = load_aqlm_linear(tensors, "proj")
+    assert isinstance(layer, QuantizedLinear)
+    assert cfg.n_cluster == 256 and cfg.n_codebook == 2 and cfg.shared_codebook
+    want = numpy_dequant(tensors, "proj", codes_u)
+    got = np.asarray(layer.apply(cfg, jnp.eye(64, dtype=jnp.float32), strategy="dense_bf16")).T
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_load_1x16_dequantizes_to_dense():
+    rng = np.random.RandomState(1)
+    tensors, codes_u = synth_aqlm_tensors("proj", 32, 16, 8, 1, 65536, rng, np.int16)
+    layer, cfg = load_aqlm_linear(tensors, "proj")
+    assert isinstance(layer, DenseLinear)
+    assert cfg.n_cluster == 65536
+    want = numpy_dequant(tensors, "proj", codes_u)
+    got = np.asarray(layer.w.astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)  # bf16 storage
+
+
+def test_int16_negative_codes_bitcast():
+    """int16 code -1 must decode as 65535, not crash or clamp."""
+    rng = np.random.RandomState(2)
+    tensors, codes_u = synth_aqlm_tensors("p", 16, 4, 8, 1, 65536, rng, np.int16)
+    # force a specific extreme
+    raw = tensors["p.codes"].copy()
+    raw[0, 0, 0] = -1  # bitcast → 65535
+    tensors["p.codes"] = raw
+    codes_u[0, 0, 0] = 65535
+    layer, cfg = load_aqlm_linear(tensors, "p")
+    want = numpy_dequant(tensors, "p", codes_u)
+    np.testing.assert_allclose(
+        np.asarray(layer.w.astype(jnp.float32)), want, rtol=2e-2, atol=2e-2
+    )
+
+
+def test_full_llama_checkpoint_roundtrip(tmp_path):
+    """Write a tiny model in HF AQLM layout to safetensors on disk, load it,
+    and run a forward pass."""
+    from safetensors.numpy import save_file
+
+    cfg = LlamaConfig.tiny(n_layers=1, hidden=64, ffn=128, n_heads=2, n_kv_heads=2,
+                           vocab_size=32, max_seq=16)
+    rng = np.random.RandomState(3)
+    tensors = {}
+    base = "model.layers.0"
+    for proj, (di, do) in {
+        "self_attn.q_proj": (64, 64),
+        "self_attn.k_proj": (64, 64),
+        "self_attn.v_proj": (64, 64),
+        "self_attn.o_proj": (64, 64),
+        "mlp.gate_proj": (64, 128),
+        "mlp.up_proj": (64, 128),
+        "mlp.down_proj": (128, 64),
+    }.items():
+        t, _ = synth_aqlm_tensors(f"{base}.{proj}", di, do, 8, 2, 256, rng, np.int8)
+        tensors.update(t)
+    tensors[f"{base}.input_layernorm.weight"] = np.ones(64, np.float16)
+    tensors[f"{base}.post_attention_layernorm.weight"] = np.ones(64, np.float16)
+    tensors["model.embed_tokens.weight"] = rng.randn(32, 64).astype(np.float16)
+    tensors["model.norm.weight"] = np.ones(64, np.float16)
+    tensors["lm_head.weight"] = rng.randn(32, 64).astype(np.float16)
+    path = str(tmp_path / "model.safetensors")
+    save_file(tensors, path)
+
+    weights = load_aqlm_llama(path, cfg)
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    logits, _ = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, 1), jnp.int32(0),
+        strategy="dequant_mm", interpret=True,
+    )
+    assert logits.shape == (1, 3, 32)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_open_checkpoint_missing(tmp_path):
+    with pytest.raises(FileNotFoundError, match="safetensors"):
+        open_checkpoint(str(tmp_path))

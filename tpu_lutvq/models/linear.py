@@ -38,6 +38,11 @@ class DenseLinear(NamedTuple):
         y = x.astype(self.w.dtype) @ self.w.T
         return y
 
+    def apply(self, cfg, x: jax.Array, **_kw) -> jax.Array:
+        """Drop-in for QuantizedLinear.apply (cfg/strategy ignored) so a
+        load-time-dequantized layer (1x16 path) slots into LayerWeights."""
+        return self(x).astype(jnp.float32)
+
 
 class QuantizedLinear(NamedTuple):
     """LUT-VQ quantized linear layer.

@@ -1,2 +1,7 @@
 from tpu_lutvq.runtime.generate import GenerationResult, generate  # noqa: F401
 from tpu_lutvq.runtime.batching import ContinuousBatcher, Request  # noqa: F401
+from tpu_lutvq.runtime.checkpoint import (  # noqa: F401
+    load_aqlm_linear,
+    load_aqlm_llama,
+    open_checkpoint,
+)

@@ -1,0 +1,182 @@
+"""AQLM checkpoint loading: HF safetensors → kernel-ready pytrees.
+
+The reference synthesizes random codes/codebooks each run
+(benchmark_rq_gemm_cpu.py:115-126) and dequantizes through the AQLM pip
+package; real serving needs the actual checkpoint format.  AQLM HF layout
+per quantized linear (ISTA-DASLab releases):
+
+    <prefix>.codes      int8/int16/int32, (out_features, num_in_groups, N)
+                        stored two's-complement — value bits are the unsigned
+                        code (bitcast, NOT offset), so int16 −1 == code 65535
+    <prefix>.codebooks  fp16, (N, K, out_group_size=1, in_group_size=g)
+    <prefix>.scales     fp16, (out_features, 1, 1, 1) per-output scales
+
+Mapping to our ``VQConfig``: M = in_features/g, N = num_codebooks,
+K = codebook_size, shared_codebook=True (AQLM codebooks are layer-wide).
+
+- K ≤ 256 (e.g. 2x8): → ``QuantizedLinear`` running the fused LUT kernels.
+- K = 65536 (1x16): gather is table-width-limited on TPU (SURVEY.md §7), so
+  the layer is dequantized **at load time** (pure lookup, bit-exact per the
+  reference's semantics, vq.py:269-278) to a bf16 ``DenseLinear``.
+
+Dequantized-vs-AQLM parity is exact by construction: the same gather+sum
+over fp16 codebook rows (tests build synthetic checkpoints in the exact HF
+layout and assert equality against an independent NumPy dequantizer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import VQParams
+from tpu_lutvq.kernels import pack_params
+from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear
+from tpu_lutvq.models.llama import LayerWeights, LlamaConfig, LlamaWeights
+
+PROJ_NAMES = {
+    "wq": "self_attn.q_proj",
+    "wk": "self_attn.k_proj",
+    "wv": "self_attn.v_proj",
+    "wo": "self_attn.o_proj",
+    "w_gate": "mlp.gate_proj",
+    "w_up": "mlp.up_proj",
+    "w_down": "mlp.down_proj",
+}
+
+
+def open_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Load all tensors from a safetensors file or a HF directory (handles
+    sharded ``model.safetensors.index.json``)."""
+    from safetensors.numpy import load_file
+
+    if os.path.isfile(path):
+        return load_file(path)
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        tensors = {}
+        for shard in sorted(set(weight_map.values())):
+            tensors.update(load_file(os.path.join(path, shard)))
+        return tensors
+    single = os.path.join(path, "model.safetensors")
+    if os.path.exists(single):
+        return load_file(single)
+    raise FileNotFoundError(f"no safetensors checkpoint at {path}")
+
+
+def _unsigned_codes(codes: np.ndarray) -> np.ndarray:
+    """Two's-complement bitcast to the unsigned code value."""
+    if codes.dtype == np.int8:
+        return codes.view(np.uint8)
+    if codes.dtype == np.int16:
+        return codes.view(np.uint16)
+    if codes.dtype in (np.int32, np.uint32, np.uint8, np.uint16):
+        return codes.astype(np.int64) & 0xFFFFFFFF
+    raise ValueError(f"unexpected codes dtype {codes.dtype}")
+
+
+def aqlm_layer_config(codes: np.ndarray, codebooks: np.ndarray) -> tuple[VQConfig, int]:
+    """Infer ``(VQConfig, d_out)`` from AQLM tensor shapes."""
+    n_cb, k, out_g, in_g = codebooks.shape
+    if out_g != 1:
+        raise NotImplementedError(f"out_group_size={out_g} != 1 not supported yet")
+    d_out, n_in_groups, n_cb2 = codes.shape
+    assert n_cb2 == n_cb, (n_cb2, n_cb)
+    d_in = n_in_groups * in_g
+    cfg = VQConfig(
+        d_in=d_in,
+        n_subvec=n_in_groups,
+        n_codebook=n_cb,
+        n_cluster=k,
+        shared_codebook=True,
+    )
+    return cfg, d_out
+
+
+def load_aqlm_linear(
+    tensors: dict[str, np.ndarray],
+    prefix: str,
+    dequant_threshold_k: int = 256,
+) -> tuple[Union[QuantizedLinear, DenseLinear], Optional[VQConfig]]:
+    """One projection: → QuantizedLinear (K ≤ threshold) or load-time
+    dequantized DenseLinear (1x16 etc.)."""
+    codes = _unsigned_codes(tensors[f"{prefix}.codes"])
+    codebooks = tensors[f"{prefix}.codebooks"]
+    scales = tensors.get(f"{prefix}.scales")
+    cfg, d_out = aqlm_layer_config(tensors[f"{prefix}.codes"], codebooks)
+    # (N, K, 1, g) → (1, N, K, g) shared codebook
+    cb = np.ascontiguousarray(codebooks[:, :, 0, :])[None]
+    sc = None if scales is None else scales.reshape(d_out).astype(np.float32)
+
+    if cfg.n_cluster <= dequant_threshold_k:
+        params = VQParams(
+            codebook=jnp.asarray(cb),
+            codes=jnp.asarray(
+                np.transpose(codes, (0, 1, 2)).astype(
+                    np.uint8 if cfg.n_cluster <= 256 else np.uint16
+                )
+            ),
+            scales=None if sc is None else jnp.asarray(sc),
+        )
+        return QuantizedLinear(packed=pack_params(cfg, params)), cfg
+
+    # 1x16 path: bit-exact load-time dequant (gather + additive sum in fp16,
+    # scales applied after — identical to AQLM's _dequantize_weight)
+    w = np.zeros((d_out, cfg.d_in), np.float32)
+    cbf = cb[0].astype(np.float32)  # (N, K, g)
+    for n in range(cfg.n_codebook):
+        picked = cbf[n][codes[:, :, n].astype(np.int64)]  # (d_out, M, g)
+        w += picked.reshape(d_out, cfg.d_in)
+    if sc is not None:
+        w *= sc[:, None]
+    return DenseLinear(w=jnp.asarray(w, jnp.bfloat16)), cfg
+
+
+def load_aqlm_llama(
+    path_or_tensors: Union[str, dict[str, np.ndarray]],
+    cfg: LlamaConfig,
+    dequant_threshold_k: int = 256,
+) -> LlamaWeights:
+    """Full Llama: HF AQLM checkpoint → LlamaWeights pytree."""
+    tensors = (
+        open_checkpoint(path_or_tensors)
+        if isinstance(path_or_tensors, str)
+        else path_or_tensors
+    )
+
+    def get(name: str) -> jax.Array:
+        return jnp.asarray(tensors[name])
+
+    layers = []
+    for i in range(cfg.n_layers):
+        base = f"model.layers.{i}"
+        fields = {}
+        for field, proj in PROJ_NAMES.items():
+            layer, _ = load_aqlm_linear(
+                tensors, f"{base}.{proj}", dequant_threshold_k
+            )
+            fields[field] = layer
+        layers.append(
+            LayerWeights(
+                attn_norm=get(f"{base}.input_layernorm.weight").astype(jnp.float32),
+                mlp_norm=get(f"{base}.post_attention_layernorm.weight").astype(
+                    jnp.float32
+                ),
+                **fields,
+            )
+        )
+    return LlamaWeights(
+        embed=get("model.embed_tokens.weight").astype(jnp.bfloat16),
+        layers=tuple(layers),
+        final_norm=get("model.norm.weight").astype(jnp.float32),
+        lm_head=DenseLinear(w=get("lm_head.weight").astype(jnp.bfloat16)),
+    )

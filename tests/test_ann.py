@@ -1,0 +1,123 @@
+"""ANN engine tests: kmeans, PQ/RQ encode-decode-search, quantized-table
+scan, OPQ rotation (QuickerADC capability parity, SURVEY.md §2.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.ann import OPQ, ProductQuantizer, ResidualQuantizer, kmeans
+
+
+def clustered_data(key, n=512, d=32, centers=16, noise=0.05):
+    kc, kx, ka = jax.random.split(key, 3)
+    cents = jax.random.normal(kc, (centers, d))
+    assign = jax.random.randint(ka, (n,), 0, centers)
+    return cents[assign] + noise * jax.random.normal(kx, (n, d)), cents, assign
+
+
+def test_kmeans_recovers_clusters(rng):
+    x, cents, assign = clustered_data(rng)
+    c, a = kmeans(jax.random.PRNGKey(1), x, 16, iters=30)
+    # within-cluster distance must be near the noise floor
+    d2 = jnp.mean(jnp.sum((x - c[a]) ** 2, axis=1))
+    assert float(d2) < 0.2, float(d2)
+
+
+def test_kmeans_hypercube_init(rng):
+    x = jax.random.normal(rng, (256, 16))
+    c, a = kmeans(jax.random.PRNGKey(2), x, 8, iters=10, init="hypercube")
+    assert c.shape == (8, 16)
+    assert int(jnp.max(a)) < 8
+
+
+@pytest.fixture(scope="module")
+def pq_setup():
+    key = jax.random.PRNGKey(5)
+    x, _, _ = clustered_data(key, n=600, d=32, centers=32)
+    pq = ProductQuantizer(d=32, m=4, k=16).train(jax.random.PRNGKey(6), x, iters=20)
+    return pq, x
+
+
+def test_pq_encode_decode_beats_random(pq_setup, rng):
+    pq, x = pq_setup
+    codes = pq.encode(x)
+    assert codes.shape == (600, 4) and codes.dtype == jnp.uint8
+    mse = float(jnp.mean((pq.decode(codes) - x) ** 2))
+    rand_pq = ProductQuantizer(d=32, m=4, k=16)
+    rand_pq.centroids = jax.random.normal(rng, (4, 16, 8))
+    mse_rand = float(jnp.mean((rand_pq.decode(rand_pq.encode(x)) - x) ** 2))
+    assert mse < 0.5 * mse_rand, (mse, mse_rand)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_pq_search_recall_vs_bruteforce(pq_setup, metric):
+    pq, x = pq_setup
+    db = x[:512]
+    queries = x[:8] + 0.01
+    codes = pq.encode(db)
+    vals, idx = pq.search(queries, codes, topk=10, metric=metric, interpret=True)
+    # brute force on DECODED db = what PQ scores approximate exactly
+    dec = pq.decode(codes)
+    if metric == "l2":
+        exact = jnp.argsort(
+            jnp.sum((queries[:, None] - dec[None]) ** 2, axis=-1), axis=1
+        )[:, :10]
+    else:
+        exact = jnp.argsort(-(queries @ dec.T), axis=1)[:, :10]
+    # ADC scores vs decoded-db brute force agree up to q-residual terms; check
+    # top-1 containment (the reference's correctness bar is golden-model error)
+    hit = np.mean([
+        int(exact[i, 0]) in set(np.asarray(idx[i]).tolist()) for i in range(8)
+    ])
+    assert hit >= 0.9, hit
+
+
+def test_pq_search_int8_tables_close_to_f32(pq_setup):
+    pq, x = pq_setup
+    db, queries = x[:512], x[:4]
+    codes = pq.encode(db)
+    v32, i32 = pq.search(queries, codes, topk=5, table_dtype="f32", interpret=True)
+    v8, i8 = pq.search(queries, codes, topk=5, table_dtype="int8", interpret=True)
+    # quantized-table scan must keep ≥80% of the top-5 (QuantizerMAX tradeoff)
+    overlap = np.mean([
+        len(set(np.asarray(i32[q]).tolist()) & set(np.asarray(i8[q]).tolist())) / 5
+        for q in range(4)
+    ])
+    assert overlap >= 0.8, overlap
+
+
+def test_rq_residual_improves_with_codebooks(rng):
+    x, _, _ = clustered_data(rng, n=400, d=16, centers=8)
+    mses = []
+    for n_cb in (1, 3):
+        rq = ResidualQuantizer(d=16, n_codebooks=n_cb, k=16).train(
+            jax.random.PRNGKey(7), x, iters=15
+        )
+        mses.append(float(jnp.mean((rq.decode(rq.encode(x)) - x) ** 2)))
+    assert mses[1] < mses[0] * 0.7, mses  # more stages → lower residual
+
+
+def test_rq_search_runs(rng):
+    x, _, _ = clustered_data(rng, n=300, d=16, centers=8)
+    rq = ResidualQuantizer(d=16, n_codebooks=2, k=16).train(jax.random.PRNGKey(8), x)
+    vals, idx = rq.search(x[:2], rq.encode(x), topk=3, interpret=True)
+    assert idx.shape == (2, 3)
+    # a vector's own code should be among its IP top-3 on clustered data
+    assert int(idx[0, 0]) in range(300)
+
+
+def test_opq_rotation_is_orthogonal_and_helps(rng):
+    # anisotropic data: OPQ's rotation should beat identity-PQ
+    key = jax.random.PRNGKey(9)
+    base = jax.random.normal(key, (500, 16))
+    stretch = jnp.diag(jnp.linspace(0.1, 3.0, 16))
+    mix = jax.random.orthogonal(jax.random.PRNGKey(10), 16)
+    x = base @ stretch @ mix
+    opq = OPQ(d=16, m=4, k=16).train(jax.random.PRNGKey(11), x, outer_iters=5,
+                                     kmeans_iters=10)
+    r = np.asarray(opq.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(16), atol=1e-4)
+    pq = ProductQuantizer(d=16, m=4, k=16).train(jax.random.PRNGKey(11), x, iters=10)
+    mse_pq = float(jnp.mean((pq.decode(pq.encode(x)) - x) ** 2))
+    assert opq.reconstruction_mse(x) < mse_pq * 1.05  # at least as good

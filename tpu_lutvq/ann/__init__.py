@@ -1,0 +1,3 @@
+from tpu_lutvq.ann.kmeans import kmeans  # noqa: F401
+from tpu_lutvq.ann.pq import ProductQuantizer, ResidualQuantizer  # noqa: F401
+from tpu_lutvq.ann.opq import OPQ  # noqa: F401

@@ -1,0 +1,106 @@
+"""k-means codebook training on the MXU.
+
+TPU re-expression of the clustering the reference vendors from FAISS
+(VecProductQuantizer.h:649-725 trains per-subquantizer centroids, with
+hypercube initialization at :80-128).  Lloyd iterations are one jitted
+``lax.fori_loop``: assignment is an ``(n, d) × (d, k)`` distance matmul
+(MXU), the update is a one-hot matmul — no data-dependent Python.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _assign(x: jax.Array, centroids: jax.Array) -> jax.Array:
+    """Nearest centroid per point via ||x||² - 2x·c + ||c||² (MXU)."""
+    dots = x @ centroids.T  # (n, k)
+    c2 = jnp.sum(centroids * centroids, axis=1)
+    return jnp.argmin(c2[None, :] - 2.0 * dots, axis=1)
+
+
+def _update(x: jax.Array, assign: jax.Array, k: int) -> jax.Array:
+    onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # (n, k)
+    sums = onehot.T @ x  # (k, d) on MXU
+    counts = jnp.sum(onehot, axis=0)[:, None]
+    return sums / jnp.maximum(counts, 1.0), counts[:, 0]
+
+
+def hypercube_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
+    """±σ hypercube corners on the top log2(k) variance dims, as in the
+    reference's init_hypercube (VecProductQuantizer.h:80-103)."""
+    d = x.shape[1]
+    nbits = max(1, (k - 1).bit_length())
+    mean = jnp.mean(x, axis=0)
+    std = jnp.std(x) + 1e-12
+    corners = jnp.asarray(
+        [[(i >> b) & 1 for b in range(nbits)] for i in range(k)], jnp.float32
+    ) * 2.0 - 1.0  # (k, nbits)
+    c = jnp.zeros((k, d), x.dtype)
+    take = min(nbits, d)
+    c = c.at[:, :take].set(corners[:, :take] * std)
+    return c + mean[None, :]
+
+
+def _kmeanspp_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
+    """k-means++ seeding: each next centroid sampled ∝ min-distance²."""
+    n = x.shape[0]
+    first = x[jax.random.randint(key, (), 0, n)]
+    cents = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(first)
+    mind2 = jnp.sum((x - first) ** 2, axis=1)
+
+    def body(i, carry):
+        cents, mind2 = carry
+        rk = jax.random.fold_in(key, i)
+        logits = jnp.log(jnp.maximum(mind2, 1e-30))
+        pick = x[jax.random.categorical(rk, logits)]
+        cents = jax.lax.dynamic_update_slice(cents, pick[None], (i, 0))
+        mind2 = jnp.minimum(mind2, jnp.sum((x - pick) ** 2, axis=1))
+        return cents, mind2
+
+    cents, _ = jax.lax.fori_loop(1, k, body, (cents, mind2))
+    return cents
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "init"))
+def kmeans(
+    key: jax.Array,
+    x: jax.Array,
+    k: int,
+    iters: int = 25,
+    init: str = "kmeans++",
+) -> tuple[jax.Array, jax.Array]:
+    """Train ``k`` centroids on ``x (n, d)``.  Returns (centroids, assign).
+
+    init: "kmeans++" (default), "sample" (random points), or "hypercube"
+    (reference-style, VecProductQuantizer.h:80-103).
+    Empty clusters are re-seeded from random points each iteration.
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    if init == "hypercube":
+        centroids = hypercube_init(key, x, k)
+    elif init == "kmeans++":
+        centroids = _kmeanspp_init(key, x, k)
+    else:
+        idx = jax.random.choice(key, n, shape=(k,), replace=n < k)
+        centroids = x[idx]
+
+    def body(i, carry):
+        centroids, _ = carry
+        a = _assign(x, centroids)
+        new_c, counts = _update(x, a, k)
+        # re-seed empties from data points (deterministic per iteration)
+        rk = jax.random.fold_in(key, i)
+        repl = x[jax.random.choice(rk, n, shape=(k,), replace=n < k)]
+        new_c = jnp.where((counts > 0)[:, None], new_c, repl)
+        return new_c, a
+
+    centroids, assign = jax.lax.fori_loop(
+        0, iters, body, (centroids, jnp.zeros((n,), jnp.int32))
+    )
+    return centroids, _assign(x, centroids)

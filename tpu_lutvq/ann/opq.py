@@ -1,0 +1,59 @@
+"""OPQ — optimized product quantization rotation trainer.
+
+TPU re-expression of the reference's ``OVPQMatrix`` trainer
+(faiss-simd/VecProductQuantizer.h:2838-3025): alternate between (a) training
+the PQ on rotated data and (b) solving the orthogonal Procrustes problem
+``min_R ||R x − decode(encode(R x))||`` via SVD of the correlation matrix
+(the reference calls LAPACK ``sgesvd_``; here ``jnp.linalg.svd`` on device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.ann.pq import ProductQuantizer
+
+
+@dataclasses.dataclass
+class OPQ:
+    d: int
+    m: int
+    k: int = 256
+    rotation: Optional[jax.Array] = None  # (d, d) orthogonal
+    pq: Optional[ProductQuantizer] = None
+
+    def train(
+        self,
+        key: jax.Array,
+        x: jax.Array,
+        outer_iters: int = 8,
+        kmeans_iters: int = 12,
+    ) -> "OPQ":
+        x = x.astype(jnp.float32)
+        r = jnp.eye(self.d, dtype=jnp.float32)
+        pq = ProductQuantizer(self.d, self.m, self.k)
+        for it in range(outer_iters):
+            xr = x @ r.T
+            pq.train(jax.random.fold_in(key, it), xr, iters=kmeans_iters)
+            rec = pq.decode(pq.encode(xr))  # (n, d) in rotated space
+            # Procrustes: maximize tr(R X^T Y) → R = U V^T of Y^T X
+            corr = rec.T @ x  # (d, d)
+            u, _, vt = jnp.linalg.svd(corr, full_matrices=False)
+            r = u @ vt
+        self.rotation = r
+        self.pq = pq
+        return self
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        return self.pq.encode(x.astype(jnp.float32) @ self.rotation.T)
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        return self.pq.decode(codes) @ self.rotation
+
+    def reconstruction_mse(self, x: jax.Array) -> float:
+        rec = self.decode(self.encode(x))
+        return float(jnp.mean((rec - x.astype(jnp.float32)) ** 2))

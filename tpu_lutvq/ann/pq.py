@@ -1,0 +1,212 @@
+"""Product / residual quantization for ANN search — the QuickerADC engine
+(faiss-simd/VecProductQuantizer.h) re-expressed TPU-natively.
+
+The reference's pipeline per query (VecProductQuantizer.h:1213-1262):
+distance tables via BLAS sgemm (:1056-1105) → dynamic int8/int16 table
+quantization against the current top-k bound (QuantizerMAX, :182-298) →
+SIMD in-register table scan with saturating accumulate (:1869-2837) →
+heap update.  On TPU the scan *is* our fused LUT kernel (the database codes
+play the role of weight codes, ``d_out = n_database``), table quantization
+is ``quantize_lut_int8``, and the heap is ``lax.top_k`` over the full score
+vector — throughput comes from batched parallelism instead of scalar
+heap-bound pruning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.ann.kmeans import kmeans
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import VQParams
+from tpu_lutvq.kernels import lut_gemv, pack_params, quantize_lut_int8
+from tpu_lutvq.kernels.lut_ctor import LANE
+
+
+@dataclasses.dataclass
+class ProductQuantizer:
+    """PQ<d, M, K>: M subquantizers of K centroids over d/M dims each
+    (the reference's PQ workload: sim_dataflow.py:38-42)."""
+
+    d: int
+    m: int
+    k: int = 256
+    centroids: Optional[jax.Array] = None  # (M, K, d/M)
+
+    @property
+    def dsub(self) -> int:
+        return self.d // self.m
+
+    @property
+    def cfg(self) -> VQConfig:
+        return VQConfig(self.d, self.m, 1, self.k)
+
+    def train(self, key: jax.Array, x: jax.Array, iters: int = 25, init: str = "sample"):
+        """Per-subquantizer k-means (VecProductQuantizer.h:649-725)."""
+        xs = x.reshape(x.shape[0], self.m, self.dsub)
+        cents = []
+        for mm in range(self.m):
+            c, _ = kmeans(jax.random.fold_in(key, mm), xs[:, mm], self.k, iters, init)
+            cents.append(c)
+        self.centroids = jnp.stack(cents)  # (M, K, dsub)
+        return self
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        """(n, d) → (n, M) uint8/uint16 codes (nearest centroid per subvector,
+        VecProductQuantizer.h:884-938)."""
+        xs = x.reshape(x.shape[0], self.m, self.dsub).astype(jnp.float32)
+        c = self.centroids.astype(jnp.float32)
+        dots = jnp.einsum("nmd,mkd->nmk", xs, c)
+        c2 = jnp.sum(c * c, axis=-1)  # (M, K)
+        codes = jnp.argmin(c2[None] - 2.0 * dots, axis=-1)
+        return codes.astype(jnp.uint8 if self.k <= 256 else jnp.uint16)
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        """(n, M) → (n, d) reconstruction (VecProductQuantizer.h:946-1007)."""
+        m_idx = jnp.arange(self.m)[None, :]
+        rec = self.centroids[m_idx, codes.astype(jnp.int32)]  # (n, M, dsub)
+        return rec.reshape(codes.shape[0], self.d)
+
+    # --- distance tables (VecProductQuantizer.h:1023-1105) ---
+
+    def ip_tables(self, queries: jax.Array) -> jax.Array:
+        """Inner-product tables: (q, M, K) — one MXU einsum (the reference's
+        sgemm_ path, :1065-1074)."""
+        qs = queries.reshape(queries.shape[0], self.m, self.dsub).astype(jnp.float32)
+        return jnp.einsum("qmd,mkd->qmk", qs, self.centroids.astype(jnp.float32))
+
+    def l2_tables(self, queries: jax.Array) -> jax.Array:
+        """Squared-L2 tables via ||q−c||² = ||q||² − 2q·c + ||c||²
+        (pairwise_L2sqr, :1097-1101); per-subvector ||q||² is a constant per
+        table row and kept (exact distances)."""
+        qs = queries.reshape(queries.shape[0], self.m, self.dsub).astype(jnp.float32)
+        dots = jnp.einsum("qmd,mkd->qmk", qs, self.centroids.astype(jnp.float32))
+        c2 = jnp.sum(self.centroids.astype(jnp.float32) ** 2, axis=-1)
+        q2 = jnp.sum(qs * qs, axis=-1)
+        return q2[..., None] - 2.0 * dots + c2[None]
+
+    # --- search ---
+
+    def search(
+        self,
+        queries: jax.Array,
+        codes: jax.Array,
+        topk: int = 10,
+        metric: str = "l2",
+        table_dtype: str = "f32",
+        interpret: bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Scan the encoded database and return (values, indices) of the
+        top-k nearest (metric="l2") or highest-scoring (metric="ip").
+
+        table_dtype="int8" runs the QuantizerMAX-style dynamically-quantized
+        scan (:182-298): tables are range-quantized to int8 per query, scores
+        accumulate in int, and are rescaled — trading ≤0.4% score error for
+        table memory (the TPU analog of the int8 in-register scan).
+        """
+        n = codes.shape[0]
+        tables = self.l2_tables(queries) if metric == "l2" else self.ip_tables(queries)
+        if table_dtype == "int8":
+            q, scale = quantize_lut_int8(tables)  # per (query, m) scale
+            # common scale per query so the sum stays linear: requantize
+            qscale = jnp.max(scale, axis=(1, 2), keepdims=True)
+            q = jnp.clip(
+                jnp.round(tables / qscale), -127, 127
+            )
+            tables = q * qscale  # dequantized int8 grid, exact linear sum
+        scores = _scan_codes(self.cfg, tables, codes, interpret=interpret)  # (q, n)
+        if metric == "l2":
+            vals, idx = jax.lax.top_k(-scores, topk)
+            return -vals, idx
+        return jax.lax.top_k(scores, topk)
+
+
+def _scan_codes(
+    cfg: VQConfig, tables: jax.Array, codes: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Score all database codes against per-query tables using the fused
+    lookup-accumulate kernel (scores[q, i] = Σ_m tables[q, m, codes[i, m]])."""
+    n = codes.shape[0]
+    params = VQParams(
+        codebook=jnp.zeros((1, 1, 1, 1), jnp.float32),  # unused: tables given
+        codes=codes.reshape(n, cfg.n_subvec, cfg.n_codebook),
+        scales=None,
+    )
+    packed = pack_params(cfg, params)
+    kp = max(cfg.n_cluster, LANE)
+    lut = tables.reshape(tables.shape[0], cfg.n_groups, cfg.n_cluster)
+    if cfg.n_cluster < kp:
+        lut = jnp.pad(lut, ((0, 0), (0, 0), (0, kp - cfg.n_cluster)))
+    from tpu_lutvq.kernels.lut_gemv import _lut_gemv_packed
+
+    outs = []
+    for q0 in range(0, lut.shape[0], 8):
+        outs.append(
+            _lut_gemv_packed(
+                cfg, packed, lut[q0 : q0 + 8], block_j=1024, interpret=interpret
+            )
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+@dataclasses.dataclass
+class ResidualQuantizer:
+    """RQ<d, N, K>: N additive codebooks trained on successive residuals
+    (the reference's RQ workload, sim_dataflow.py:43-47; additive semantics
+    shared with AQLM)."""
+
+    d: int
+    n_codebooks: int
+    k: int = 256
+    codebooks: Optional[jax.Array] = None  # (N, K, d)
+
+    @property
+    def cfg(self) -> VQConfig:
+        return VQConfig(self.d, 1, self.n_codebooks, self.k)
+
+    def train(self, key: jax.Array, x: jax.Array, iters: int = 25):
+        resid = x.astype(jnp.float32)
+        cbs = []
+        for nn in range(self.n_codebooks):
+            c, a = kmeans(jax.random.fold_in(key, nn), resid, self.k, iters)
+            cbs.append(c)
+            resid = resid - c[a]
+        self.codebooks = jnp.stack(cbs)  # (N, K, d)
+        return self
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        """Greedy residual encoding → (n, N) codes."""
+        resid = x.astype(jnp.float32)
+        codes = []
+        for nn in range(self.n_codebooks):
+            c = self.codebooks[nn]
+            dots = resid @ c.T
+            c2 = jnp.sum(c * c, axis=1)
+            a = jnp.argmin(c2[None] - 2 * dots, axis=1)
+            codes.append(a)
+            resid = resid - c[a]
+        return jnp.stack(codes, axis=1).astype(
+            jnp.uint8 if self.k <= 256 else jnp.uint16
+        )
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        rec = self.codebooks[jnp.arange(self.n_codebooks)[None], codes.astype(jnp.int32)]
+        return jnp.sum(rec, axis=1)
+
+    def search(
+        self,
+        queries: jax.Array,
+        codes: jax.Array,
+        topk: int = 10,
+        interpret: bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        """IP search over additive codes: score = Σ_n q·c_n[code_n]."""
+        tables = jnp.einsum(
+            "qd,nkd->qnk", queries.astype(jnp.float32), self.codebooks
+        )
+        scores = _scan_codes(self.cfg, tables, codes, interpret=interpret)
+        return jax.lax.top_k(scores, topk)

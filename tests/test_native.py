@@ -1,0 +1,68 @@
+"""Native (C++) host-layout library: differential tests vs the NumPy
+fallbacks, plus the fallback paths themselves."""
+
+import numpy as np
+import pytest
+
+from tpu_lutvq.utils import native
+
+
+@pytest.fixture(scope="module")
+def built():
+    ok = native.have_native()
+    return ok
+
+
+def test_native_builds(built):
+    # the toolchain is baked into this image; the lib must build
+    assert built, "csrc/liblutvq_pack.so failed to build"
+
+
+def test_pack_unpack_roundtrip(built):
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 16, size=(33, 64)).astype(np.uint8)
+    packed = native.pack_nibbles_np(codes)
+    assert packed.shape == (33, 32)
+    out = native.unpack_nibbles_np(packed)
+    np.testing.assert_array_equal(out, codes)
+
+
+def test_transpose_matches_numpy(built):
+    rng = np.random.RandomState(1)
+    a = rng.randint(0, 256, size=(217, 403)).astype(np.uint8)
+    np.testing.assert_array_equal(native.transpose_u8(a), a.T)
+
+
+def test_dequant_additive_matches_numpy(built):
+    rng = np.random.RandomState(2)
+    d_out, m, n, k, g = 37, 6, 2, 64, 8
+    codes = rng.randint(0, k, size=(d_out, m, n))
+    cb = rng.randn(n, k, g).astype(np.float32)
+    sc = (1 + 0.1 * rng.randn(d_out)).astype(np.float32)
+    got = native.dequant_additive(codes, cb, sc)
+    want = np.zeros((d_out, m, g), np.float32)
+    for nn in range(n):
+        want += cb[nn][codes[:, :, nn]]
+    want = want.reshape(d_out, m * g) * sc[:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_shard_repack(built):
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(5, 12)).astype(np.uint8)  # 3 shards of 4
+    out = native.shard_repack_u8(a, local=4, local_pad=6, shards=3, fill=7)
+    assert out.shape == (5, 18)
+    for s in range(3):
+        np.testing.assert_array_equal(out[:, s * 6 : s * 6 + 4], a[:, s * 4 : (s + 1) * 4])
+        assert np.all(out[:, s * 6 + 4 : (s + 1) * 6] == 7)
+
+
+def test_numpy_fallback_paths(monkeypatch):
+    """Force the fallback and check identical results."""
+    monkeypatch.setattr(native, "_load", lambda: None)
+    rng = np.random.RandomState(4)
+    codes = rng.randint(0, 16, size=(8, 10)).astype(np.uint8)
+    packed = native.pack_nibbles_np(codes)
+    np.testing.assert_array_equal(native.unpack_nibbles_np(packed), codes)
+    a = rng.randint(0, 256, size=(9, 11)).astype(np.uint8)
+    np.testing.assert_array_equal(native.transpose_u8(a), a.T)

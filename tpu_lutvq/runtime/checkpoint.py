@@ -129,15 +129,12 @@ def load_aqlm_linear(
         )
         return QuantizedLinear(packed=pack_params(cfg, params)), cfg
 
-    # 1x16 path: bit-exact load-time dequant (gather + additive sum in fp16,
-    # scales applied after — identical to AQLM's _dequantize_weight)
-    w = np.zeros((d_out, cfg.d_in), np.float32)
-    cbf = cb[0].astype(np.float32)  # (N, K, g)
-    for n in range(cfg.n_codebook):
-        picked = cbf[n][codes[:, :, n].astype(np.int64)]  # (d_out, M, g)
-        w += picked.reshape(d_out, cfg.d_in)
-    if sc is not None:
-        w *= sc[:, None]
+    # 1x16 path: bit-exact load-time dequant (gather + additive sum, scales
+    # after — identical to AQLM's _dequantize_weight).  Runs through the
+    # native host library when built (csrc/lutvq_pack.cpp), NumPy otherwise.
+    from tpu_lutvq.utils.native import dequant_additive
+
+    w = dequant_additive(codes.astype(np.int64), cb[0].astype(np.float32), sc)
     return DenseLinear(w=jnp.asarray(w, jnp.bfloat16)), cfg
 
 

@@ -1,0 +1,8 @@
+from tpu_lutvq.utils.native import (  # noqa: F401
+    dequant_additive,
+    have_native,
+    pack_nibbles_np,
+    shard_repack_u8,
+    transpose_u8,
+    unpack_nibbles_np,
+)

@@ -1,0 +1,166 @@
+"""ctypes bindings for the native host-side layout library (csrc/).
+
+Auto-builds ``liblutvq_pack.so`` on first use when a compiler is available;
+every function has a NumPy fallback so the framework works without the
+native tier (it is a load-time throughput optimization, not a dependency).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.abspath(os.path.join(_CSRC, "liblutvq_pack.so"))
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_CSRC)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        if lib.lutvq_abi_version() != 1:
+            return None
+        _lib = lib
+    except OSError:
+        return None
+    return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def pack_nibbles_np(codes: np.ndarray) -> np.ndarray:
+    """(…, 2L) uint8 4-bit values → (…, L) packed bytes."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    flat = codes.reshape(-1)
+    out = np.empty(flat.size // 2, np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.lutvq_pack_nibbles(
+            _ptr(flat, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+            ctypes.c_int64(flat.size // 2),
+        )
+    else:
+        out[:] = (flat[0::2] & 0xF) | ((flat[1::2] & 0xF) << 4)
+    return out.reshape(*codes.shape[:-1], codes.shape[-1] // 2)
+
+
+def unpack_nibbles_np(packed: np.ndarray) -> np.ndarray:
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    flat = packed.reshape(-1)
+    out = np.empty(flat.size * 2, np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.lutvq_unpack_nibbles(
+            _ptr(flat, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+            ctypes.c_int64(flat.size),
+        )
+    else:
+        out[0::2] = flat & 0xF
+        out[1::2] = flat >> 4
+    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def transpose_u8(a: np.ndarray) -> np.ndarray:
+    """(rows, cols) uint8 → contiguous (cols, rows) — the load-time codes_t
+    transposition (cache-blocked in native code; big for 70B checkpoints)."""
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    rows, cols = a.shape
+    out = np.empty((cols, rows), np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.lutvq_transpose_u8(
+            _ptr(a, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+            ctypes.c_int64(rows), ctypes.c_int64(cols),
+        )
+    else:
+        out[:] = a.T
+    return out
+
+
+def dequant_additive(
+    codes: np.ndarray,  # (d_out, M, N) unsigned values (any int dtype)
+    codebook: np.ndarray,  # (N, K, g) float32
+    scales: Optional[np.ndarray] = None,  # (d_out,)
+) -> np.ndarray:
+    """Load-time dequant of additive-VQ weights (AQLM 1x16 path)."""
+    d_out, m, n = codes.shape
+    n2, k, g = codebook.shape
+    assert n2 == n
+    if g > 64:
+        lib = None  # native path caps g at 64
+    else:
+        lib = _load()
+    codes_i = np.ascontiguousarray(codes, dtype=np.int32)
+    cb = np.ascontiguousarray(codebook, dtype=np.float32)
+    out = np.empty((d_out, m * g), np.float32)
+    if lib is not None:
+        sc = None if scales is None else np.ascontiguousarray(scales, np.float32)
+        lib.lutvq_dequant_additive(
+            _ptr(codes_i, ctypes.c_int32), _ptr(cb, ctypes.c_float),
+            _ptr(sc, ctypes.c_float) if sc is not None else None,
+            _ptr(out, ctypes.c_float),
+            ctypes.c_int64(d_out), ctypes.c_int64(m), ctypes.c_int64(n),
+            ctypes.c_int64(k), ctypes.c_int64(g),
+        )
+    else:
+        w = np.zeros((d_out, m, g), np.float32)
+        for nn in range(n):
+            w += cb[nn][codes_i[:, :, nn]]
+        out = w.reshape(d_out, m * g)
+        if scales is not None:
+            out = out * np.asarray(scales, np.float32)[:, None]
+    return out
+
+
+def shard_repack_u8(
+    a: np.ndarray, local: int, local_pad: int, shards: int, fill: int = 0
+) -> np.ndarray:
+    """(rows, local·shards) → (rows, local_pad·shards), per-chunk end pad."""
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    rows = a.shape[0]
+    assert a.shape[1] == local * shards
+    out = np.empty((rows, local_pad * shards), np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.lutvq_shard_repack_u8(
+            _ptr(a, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+            ctypes.c_int64(rows), ctypes.c_int64(local),
+            ctypes.c_int64(local_pad), ctypes.c_int64(shards),
+            ctypes.c_uint8(fill),
+        )
+    else:
+        chunks = [
+            np.pad(
+                a[:, s * local : (s + 1) * local],
+                ((0, 0), (0, local_pad - local)),
+                constant_values=fill,
+            )
+            for s in range(shards)
+        ]
+        out = np.concatenate(chunks, axis=1)
+    return out

@@ -1,0 +1,38 @@
+"""Probe: (a) gather index wrap behavior, (b) i32->bf16 bitcast shape."""
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# (a) does dynamic_gather wrap idx >= 128?
+def k_wrap(t_ref, i_ref, o_ref):
+    o_ref[:] = jnp.take_along_axis(t_ref[:], i_ref[:], axis=1)
+t = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+idx = jnp.asarray(np.random.RandomState(0).randint(0, 256, (8, 128)), jnp.int32)
+try:
+    y = pl.pallas_call(k_wrap, in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]*2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(t, idx)
+    y = np.asarray(y)
+    want_wrap = np.take_along_axis(np.asarray(t), np.asarray(idx) % 128, axis=1)
+    print("gather wraps mod 128:", np.array_equal(y, want_wrap))
+except Exception as e:
+    print("wrap probe failed:", str(e).splitlines()[0][:100])
+
+# (b) pltpu.bitcast i32 -> bf16 shape semantics
+def k_cast(i_ref, o_ref):
+    v = i_ref[:]
+    b = pltpu.bitcast(v, jnp.bfloat16)
+    o_ref[:] = b.reshape(o_ref.shape)
+src = np.zeros((8, 128), np.int32)
+# pack bf16 pair (1.5, 2.5): bf16(1.5)=0x3FC0, bf16(2.5)=0x4020
+src[:] = (0x4020 << 16) | 0x3FC0
+src = jnp.asarray(src)
+for out_shape in [(16, 128), (8, 256)]:
+    try:
+        y = pl.pallas_call(k_cast, in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.bfloat16))(src)
+        y = np.asarray(y).astype(np.float32)
+        print(f"bitcast to {out_shape}: ok; sample row0[:4]={y[0,:4]}, row1[:4]={y[1,:4] if out_shape[0]>8 else y[0,128:132] if out_shape[1]>128 else None}")
+    except Exception as e:
+        print(f"bitcast to {out_shape}: FAILED {str(e).splitlines()[0][:90]}")

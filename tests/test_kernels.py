@@ -38,18 +38,20 @@ def test_lut_gemv_matches_golden(rng, cfg, d_out, batch, with_scales):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("tables,tol", [("f32", 1e-4), ("bf16x2", 3e-2)])
 @pytest.mark.parametrize("cfg,d_out,batch", KERNEL_CFGS)
-def test_dequant_matmul_matches_golden(rng, cfg, d_out, batch):
+def test_dequant_matmul_matches_golden(rng, cfg, d_out, batch, tables, tol):
     params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=True)
     packed = pack_params(cfg, params, block_j=256)
     x = jax.random.normal(jax.random.PRNGKey(4), (batch, cfg.d_in), dtype=jnp.float32)
-    got = dequant_matmul(cfg, packed, x, block_j=256, interpret=True)
-    want = golden.fp_gemm(cfg, params, x) * (
-        1.0 if params.scales is None else 1.0
-    )
+    got = dequant_matmul(cfg, packed, x, block_j=256, tables=tables, interpret=True)
+    want = golden.fp_gemm(cfg, params, x)
     # fp_gemm applies scales inside dequantize already
     assert got.shape == (batch, d_out)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=tol, atol=tol
+    )
 
 
 def test_lut_gemv_tmac(rng):

@@ -1,0 +1,1 @@
+from tpu_lutvq.bench.harness import bench_time, device_metadata, write_csv  # noqa: F401

@@ -1,0 +1,89 @@
+"""End-to-end tier — decode tokens/s on a full AQLM-quantized Llama.
+
+The capability the reference only gestures at with single-layer benchmarks:
+whole-model decode throughput with the INT8 KV cache, measured per step via
+the jitted decode function.  Model size is selectable; "7b" uses the real
+Llama-2-7B geometry with synthetic weights (the reference also benchmarks
+synthetic weights, benchmark_rq_gemm_cpu.py:115-126).
+
+Run: python -m tpu_lutvq.bench.e2e [--model tiny|1b|7b] [--batch 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lutvq.bench.harness import write_csv
+from tpu_lutvq.models import LlamaConfig, init_llama
+from tpu_lutvq.models.llama import init_caches, llama_decode_step
+
+MODELS = {
+    "tiny": dict(vocab_size=256, hidden=256, ffn=512, n_layers=2, n_heads=4,
+                 n_kv_heads=4, max_seq=128),
+    "1b": dict(vocab_size=32000, hidden=2048, ffn=5504, n_layers=16, n_heads=16,
+               n_kv_heads=16, max_seq=1024),
+    "7b": dict(vocab_size=32000, hidden=4096, ffn=11008, n_layers=32, n_heads=32,
+               n_kv_heads=32, max_seq=2048),
+}
+
+
+def run(model: str = "tiny", batch: int = 1, steps: int = 32,
+        strategy: str = "auto", interpret: bool = False) -> list[dict]:
+    cfg = LlamaConfig(**MODELS[model])
+    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    caches = init_caches(cfg, batch)
+    tokens = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def step(tokens, caches, pos):
+        logits, caches = llama_decode_step(
+            cfg, weights, tokens, caches, pos, strategy=strategy,
+            interpret=interpret,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
+
+    # warmup + sync (scalar fetch — block_until_ready unreliable via tunnel)
+    tokens, caches = step(tokens, caches, jnp.zeros((batch,), jnp.int32))
+    int(tokens[0])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        tokens, caches = step(tokens, caches, jnp.full((batch,), i + 1, jnp.int32))
+    int(tokens[0])
+    dt = (time.perf_counter() - t0) / steps
+    toks_per_s = batch / dt
+    n_params = sum(
+        int(np.prod(l.shape)) for l in jax.tree.leaves(weights)
+    )
+    row = {
+        "model": model,
+        "batch": batch,
+        "strategy": strategy,
+        "ms_per_step": round(dt * 1e3, 2),
+        "tokens_per_s": round(toks_per_s, 1),
+        "approx_param_elems": n_params,
+    }
+    print(
+        f"{model} B={batch} [{strategy}]: {row['ms_per_step']} ms/step, "
+        f"{row['tokens_per_s']} tok/s"
+    )
+    return [row]
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tiny", choices=list(MODELS))
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--strategy", default="auto")
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--csv", default=None)
+    args = ap.parse_args()
+    rows = run(args.model, args.batch, args.steps, args.strategy, args.interpret)
+    if args.csv:
+        write_csv(args.csv, rows)
+        print(f"wrote {args.csv}")

@@ -1,0 +1,87 @@
+"""Benchmark harness utilities.
+
+Timing: on the axon-tunneled TPU, ``block_until_ready`` returns early and a
+dispatch costs ~35 ms, so kernels are repeated N times inside one dispatch
+with a data-dependency chain (defeats CSE/hoisting — XLA removes
+loop-invariant pure calls otherwise), synced by fetching a scalar, with the
+1-rep time subtracted.  Derivation: exp/probe_calib*.py (a chained 4096³
+matmul measures 196 TFLOP/s ≈ v5e spec, validating the protocol).
+
+CSV artifacts carry device metadata (the analog of run_bench_avx.sh:7-15
+echoing CPU model/ISA into the log).
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_time(
+    f: Callable,
+    x: jax.Array,
+    *args,
+    n: int = 256,
+    repeats: int = 3,
+) -> float:
+    """Seconds per call of ``f(x, *args)``; ``f``'s output must be ≥2-D or a
+    tuple whose first element is (only ``out[:1, :1]`` is reduced)."""
+
+    def rep_fn(k):
+        @jax.jit
+        def rep(x, *a):
+            def body(i, carry):
+                acc, xx = carry
+                out = f(xx, *a)
+                if isinstance(out, tuple):
+                    out = out[0]
+                s = jnp.sum(out[:1, :1].astype(jnp.float32))
+                return (acc + s, xx + (s * 1e-30).astype(xx.dtype))
+
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
+            return acc
+
+        return rep
+
+    repn, rep1 = rep_fn(n), rep_fn(1)
+    float(repn(x, *args))
+    float(rep1(x, *args))
+    best_n = best_1 = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(repn(x, *args))
+        best_n = min(best_n, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(rep1(x, *args))
+        best_1 = min(best_1, time.perf_counter() - t0)
+    return max((best_n - best_1) / (n - 1), 1e-9)
+
+
+def device_metadata() -> dict:
+    dev = jax.devices()[0]
+    return {
+        "backend": jax.default_backend(),
+        "device": str(dev),
+        "device_kind": getattr(dev, "device_kind", "?"),
+        "n_devices": len(jax.devices()),
+        "jax": jax.__version__,
+        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+    }
+
+
+def write_csv(path: str, rows: list[dict]) -> None:
+    """Rows + device metadata columns → CSV artifact (dataflow_sim.csv
+    discipline: results are recorded, not just printed)."""
+    if not rows:
+        return
+    meta = device_metadata()
+    rows = [{**r, **meta} for r in rows]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)

@@ -1,0 +1,75 @@
+"""Layer-tier benchmark — quantized vs dense at Llama-2 shapes.
+
+The analog of the reference's ``rq_lut`` harness
+(benchmark_rq_gemm_cpu.py:139-152: AQLM LUT-GEMV vs ``F.linear`` on 7B/13B/
+70B gate_proj, printing ms + speedup): measures lut_gemv / dequant_mm /
+dense-bf16 on the same shapes on TPU.
+
+Run: python -m tpu_lutvq.bench.layer [--model 7b] [--batch 1] [--csv out.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.bench.harness import bench_time, write_csv
+from tpu_lutvq.core.config import aqlm_2x8, llama2_shapes
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.dataflow.traffic import pick_strategy
+from tpu_lutvq.kernels import dequant_matmul, lut_gemv, pack_params
+
+
+def run(model: str = "7b", batch: int = 1, proj: str = "gate_proj") -> list[dict]:
+    d_in, d_out = llama2_shapes(model)[proj]
+    cfg = aqlm_2x8(d_in, group=8)
+    params = init_vq_params(jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32,
+                           with_scales=True)
+    packed = pack_params(cfg, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, d_in), jnp.float32)
+    w_dense = jax.random.normal(jax.random.PRNGKey(2), (d_out, d_in), jnp.bfloat16)
+
+    results = {}
+    results["dense_bf16"] = bench_time(
+        lambda x: (x.astype(jnp.bfloat16) @ w_dense.T).astype(jnp.float32), x, n=64
+    )
+    results["lut_gemv"] = bench_time(lambda x: lut_gemv(cfg, packed, x), x, n=64)
+    results["dequant_mm"] = bench_time(lambda x: dequant_matmul(cfg, packed, x), x, n=64)
+
+    auto = pick_strategy(cfg, d_out, batch)
+    rows = []
+    base = results["dense_bf16"]
+    for name, dt in results.items():
+        rows.append(
+            {
+                "model": model,
+                "proj": proj,
+                "d_in": d_in,
+                "d_out": d_out,
+                "batch": batch,
+                "strategy": name,
+                "us": round(dt * 1e6, 1),
+                "speedup_vs_dense": round(base / dt, 3),
+                "picked_by_model": name == auto,
+            }
+        )
+        print(
+            f"{model} {proj} B={batch:<4d} {name:12s} {dt*1e6:9.1f} us  "
+            f"speedup vs dense: {base/dt:5.2f}x" + ("  <- auto" if name == auto else "")
+        )
+    return rows
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=["7b", "13b", "70b"])
+    ap.add_argument("--proj", default="gate_proj")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--csv", default=None)
+    args = ap.parse_args()
+    rows = run(args.model, args.batch, args.proj)
+    if args.csv:
+        write_csv(args.csv, rows)
+        print(f"wrote {args.csv}")

@@ -1,0 +1,78 @@
+"""Kernel-tier microbenchmark — raw lookup-accumulate throughput.
+
+The analog of the reference's ``bench_avx_lut.cpp`` (GLUTs/sec of the
+saturating lookup-add on one pinned core, :179-191): measures the fused
+lookup kernel in isolation at a fixed (G, K, d_out) and reports G-lookups/s
+plus achieved codes bandwidth and % of the chip's analytic bounds.
+
+Run: python -m tpu_lutvq.bench.microbench [--dout 28672] [--csv out.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.bench.harness import bench_time, write_csv
+from tpu_lutvq.core.config import VQConfig, aqlm_2x8, tmac
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.dataflow.chips import CHIPS
+from tpu_lutvq.dataflow.traffic import cost_lut_gemv
+from tpu_lutvq.kernels import lut_gemv, pack_params
+
+
+def run(d_out: int = 28672, batch: int = 1, chip_name: str = "v5e") -> list[dict]:
+    chip = CHIPS[chip_name]
+    rows = []
+    cases = {
+        "aqlm2x8": aqlm_2x8(4096, group=8),
+        "aqlm2x8-g16": aqlm_2x8(4096, group=16),
+        "k128": VQConfig(4096, 512, 2, 128),
+        "tmac4bit": tmac(4096, bits=4, group=4),
+    }
+    for name, cfg in cases.items():
+        params = init_vq_params(
+            jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32
+        )
+        packed = pack_params(cfg, params)
+        x = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.d_in), jnp.float32)
+        dt = bench_time(lambda x: lut_gemv(cfg, packed, x), x, n=128)
+        n_lookups = batch * d_out * cfg.n_groups
+        pred = cost_lut_gemv(cfg, d_out, batch)
+        rows.append(
+            {
+                "case": name,
+                "D": cfg.d_in,
+                "M": cfg.n_subvec,
+                "N": cfg.n_codebook,
+                "K": cfg.n_cluster,
+                "d_out": d_out,
+                "batch": batch,
+                "us": round(dt * 1e6, 1),
+                "glookups_per_s": round(n_lookups / dt / 1e9, 2),
+                "codes_gbps": round(packed.codes_t.size / dt / 1e9, 1),
+                "pred_us": round(pred.time_s(chip) * 1e6, 1),
+                "pred_bound": pred.bound(chip),
+            }
+        )
+        print(
+            f"{name:12s} {rows[-1]['us']:>9.1f} us  "
+            f"{rows[-1]['glookups_per_s']:>7.2f} GLUT/s  "
+            f"codes {rows[-1]['codes_gbps']:>6.1f} GB/s  "
+            f"(pred {rows[-1]['pred_us']} us, {rows[-1]['pred_bound']}-bound)"
+        )
+    return rows
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dout", type=int, default=28672)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--csv", type=str, default=None)
+    args = ap.parse_args()
+    rows = run(args.dout, args.batch)
+    if args.csv:
+        write_csv(args.csv, rows)
+        print(f"wrote {args.csv}")

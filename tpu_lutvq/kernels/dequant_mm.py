@@ -62,6 +62,95 @@ def build_gather_tables(cfg: VQConfig, codebook: jax.Array) -> jax.Array:
     return t.reshape(cfg.d_subvec * g_pad, max(cfg.n_cluster, LANE))
 
 
+def build_gather_tables_bf16x2(cfg: VQConfig, codebook: jax.Array) -> jax.Array:
+    """Word-PAIR gather tables: one int32 entry packs bf16 words (2p, 2p+1)
+    of a codebook row — one 32-bit lane-gather reconstructs two weight words
+    (probe: i32→bf16 bitcast splits each row into lo/hi rows, exp/probe_opt1).
+
+    Returns ``(d/2 · G_pad, Kp)`` int32; row ``p·G_pad + (n·M + m)``.
+    Requires even d_subvec.
+    """
+    if cfg.d_subvec % 2:
+        raise ValueError("bf16x2 tables require even d_subvec")
+    cb = broadcast_codebook(cfg, codebook).astype(jnp.bfloat16)  # (M, N, K, d)
+    g_pad = _round_up(cfg.n_groups, 8)
+    t = jnp.transpose(cb, (3, 1, 0, 2))  # (d, N, M, K)
+    t = t.reshape(cfg.d_subvec // 2, 2, cfg.n_groups, cfg.n_cluster)
+    u16 = jax.lax.bitcast_convert_type(t, jnp.uint16)
+    lo = u16[:, 0].astype(jnp.uint32)
+    hi = u16[:, 1].astype(jnp.uint32)
+    packed = (lo | (hi << 16)).astype(jnp.int32)  # (d/2, G, K)
+    packed = jnp.pad(
+        packed,
+        ((0, 0), (0, g_pad - cfg.n_groups), (0, max(0, LANE - cfg.n_cluster))),
+    )
+    return packed.reshape(cfg.d_subvec // 2 * g_pad, max(cfg.n_cluster, LANE))
+
+
+def _bitcast_pair_rows(x_i32: jax.Array, interpret: bool) -> jax.Array:
+    """(R, 128) int32 → (2R, 128) bf16 with row 2r = low half-word of row r.
+    Compiled: native Mosaic bitcast.  Interpret: emulate via lax bitcast."""
+    r = x_i32.shape[0]
+    if not interpret:
+        return pltpu.bitcast(x_i32, jnp.bfloat16)
+    pairs = jax.lax.bitcast_convert_type(x_i32, jnp.bfloat16)  # (R, 128, 2)
+    return jnp.stack([pairs[..., 0], pairs[..., 1]], axis=1).reshape(2 * r, LANE)
+
+
+def _dequant_mm_bf16x2_kernel(
+    tables_ref,
+    codes_ref,
+    x_ref,
+    scales_ref,
+    out_ref,
+    wt_scratch,
+    *,
+    b,
+    m,
+    n,
+    d,
+    k,
+    g_pad,
+    block_j,
+    has_scales,
+    interpret,
+):
+    """bf16-pair variant: tables (d/2·g_pad, Kp) i32; wt_scratch (d·m, 128)
+    bf16 with rows ordered (p, m, w∈{0,1}); x_ref (b, d·m) bf16 with matching
+    column order x[b, p·2m + 2mm + w] = x_orig[b, mm·d + 2p + w]."""
+    two_gather = k > LANE
+    half = d // 2
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
+        if two_gather:
+            is_lo = idx < LANE
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+        else:
+            idx_g = idx
+        for p in range(half):
+            table = tables_ref[p * g_pad : (p + 1) * g_pad, :]
+            if two_gather:
+                lo = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_g, axis=1)
+                sel = jnp.where(is_lo, lo, hi)
+            else:
+                sel = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+            pairs = _bitcast_pair_rows(sel[: m * n, :], interpret)  # (2mn, 128) bf16
+            gw = pairs[: 2 * m, :]
+            for nn in range(1, n):
+                gw = gw + pairs[nn * 2 * m : (nn + 1) * 2 * m, :]
+            wt_scratch[p * 2 * m : (p + 1) * 2 * m, :] = gw
+        acc = jax.lax.dot_general(
+            x_ref[:],
+            wt_scratch[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (b, 128)
+        if has_scales:
+            acc = acc * scales_ref[:, t * LANE : (t + 1) * LANE]
+        out_ref[:, t * LANE : (t + 1) * LANE] = acc
+
+
 def _dequant_mm_kernel(
     tables_ref,
     codes_ref,
@@ -93,13 +182,16 @@ def _dequant_mm_kernel(
     for t in range(block_j // LANE):
         idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
         if two_gather:
-            idx_lo = idx & (LANE - 1)
             is_lo = idx < LANE
         for w in range(d):
             table = tables_ref[w * g_pad : (w + 1) * g_pad, :]
             if two_gather:
-                lo = jnp.take_along_axis(table[:, :LANE], idx_lo, axis=1)
-                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_lo, axis=1)
+                # hardware lane-gather wraps mod 128; interpreter would clamp
+                # but this variant is exercised compiled + via lut tests
+                lo = jnp.take_along_axis(table[:, :LANE], idx & (LANE - 1), axis=1)
+                hi = jnp.take_along_axis(
+                    table[:, LANE : 2 * LANE], idx & (LANE - 1), axis=1
+                )
                 sel = jnp.where(is_lo, lo, hi)
             else:
                 sel = jnp.take_along_axis(table[:, :LANE], idx, axis=1)
@@ -127,6 +219,7 @@ def dequant_matmul(
     *,
     block_j: int = DEFAULT_BLOCK_J,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+    tables: str = "bf16x2",
     interpret: bool = False,
 ) -> jax.Array:
     """Batched fused dequant-matmul: ``(B, d_in) → (B, d_out)`` float32.
@@ -134,9 +227,15 @@ def dequant_matmul(
     Weight tiles are reconstructed on-chip and consumed immediately by the
     MXU; HBM reads stay at codes + activations (+ small tables).  Batches
     beyond ``MAX_BATCH_TILE`` are chunked.
+
+    tables="bf16x2" (default): word-pair int32 tables — half the gathers,
+    bf16 MXU (serving precision).  "f32": full-precision tables (reference
+    oracle path; also required for odd d_subvec).
     """
     if cfg.n_cluster > 2 * LANE:
         raise ValueError("dequant_matmul supports K ≤ 256 (use load-time dequant for 1x16)")
+    if cfg.d_subvec % 2:
+        tables = "f32"
     b_all = x.shape[0]
     if b_all > MAX_BATCH_TILE:
         outs = [
@@ -146,6 +245,7 @@ def dequant_matmul(
                 x[i : i + MAX_BATCH_TILE],
                 block_j=block_j,
                 precision=precision,
+                tables=tables,
                 interpret=interpret,
             )
             for i in range(0, b_all, MAX_BATCH_TILE)
@@ -154,12 +254,6 @@ def dequant_matmul(
     b = b_all
     g_pad, d_out_pad = packed.codes_t.shape
     d, m, n = cfg.d_subvec, cfg.n_subvec, cfg.n_codebook
-    tables = build_gather_tables(cfg, packed.codebook)
-    kp = tables.shape[-1]
-    # activations with columns ordered (w, m): x_perm[b, w*m + mm] = x[b, mm*d + w]
-    x_perm = jnp.transpose(
-        x.astype(jnp.float32).reshape(b, m, d), (0, 2, 1)
-    ).reshape(b, d * m)
 
     valid = _valid_width(packed)
     bj = _resolve_block(d_out_pad, block_j)
@@ -171,23 +265,46 @@ def dequant_matmul(
     else:
         scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
 
-    kern = functools.partial(
-        _dequant_mm_kernel,
-        b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
-        block_j=bj, has_scales=has_scales, precision=precision,
-    )
+    if tables == "bf16x2":
+        tbl = build_gather_tables_bf16x2(cfg, packed.codebook)
+        # x columns ordered (p, m, w): x2[b, p·2m + 2mm + w] = x[b, mm·d + 2p + w]
+        x_perm = jnp.transpose(
+            x.astype(jnp.bfloat16).reshape(b, m, d // 2, 2), (0, 2, 1, 3)
+        ).reshape(b, d * m)
+        kern = functools.partial(
+            _dequant_mm_bf16x2_kernel,
+            b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
+            block_j=bj, has_scales=has_scales, interpret=interpret,
+        )
+        table_rows = d // 2 * g_pad
+        scratch_dtype = jnp.bfloat16
+    else:
+        tbl = build_gather_tables(cfg, packed.codebook)
+        # columns ordered (w, m): x_perm[b, w*m + mm] = x[b, mm*d + w]
+        x_perm = jnp.transpose(
+            x.astype(jnp.float32).reshape(b, m, d), (0, 2, 1)
+        ).reshape(b, d * m)
+        kern = functools.partial(
+            _dequant_mm_kernel,
+            b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
+            block_j=bj, has_scales=has_scales, precision=precision,
+        )
+        table_rows = d * g_pad
+        scratch_dtype = jnp.float32
+    kp = tbl.shape[-1]
+
     out = pl.pallas_call(
         kern,
         grid=(d_out_pad // bj,),
         in_specs=[
-            pl.BlockSpec((d * g_pad, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((table_rows, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, d * m), lambda j: (0, 0), memory_space=pltpu.VMEM),
             scale_spec,
         ],
         out_specs=pl.BlockSpec((b, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((d * m, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((d * m, LANE), scratch_dtype)],
         interpret=interpret,
-    )(tables, packed.codes_t, x_perm, scales)
+    )(tbl, packed.codes_t, x_perm, scales)
     return out[:, :valid]

@@ -157,7 +157,10 @@ def pack_params(
     )
 
 
-def _gemv_kernel(lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, k, block_j, has_scales):
+def _gemv_kernel(
+    lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, k, block_j, has_scales,
+    explicit_mod=False,
+):
     """One grid step: produce ``(batch, block_j)`` outputs from a code tile.
 
     lut_ref:    (batch*g, Kp) f32, whole array resident (constant index map)
@@ -170,16 +173,20 @@ def _gemv_kernel(lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, k, block_
     for t in range(block_j // LANE):
         idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (g, 128)
         if two_gather:
-            idx_lo = idx & (LANE - 1)
             is_lo = idx < LANE
+            # hardware lane-gather wraps idx mod 128 (exp/probe_opt1.py) so no
+            # mask op is needed; the interpreter clamps instead → mask there
+            idx_g = (idx & (LANE - 1)) if explicit_mod else idx
+        else:
+            idx_g = idx
         for b in range(batch):
             table = lut_ref[b * g : (b + 1) * g, :]
             if two_gather:
-                lo = jnp.take_along_axis(table[:, :LANE], idx_lo, axis=1)
-                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_lo, axis=1)
+                lo = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_g, axis=1)
                 sel = jnp.where(is_lo, lo, hi)
             else:
-                sel = jnp.take_along_axis(table[:, :LANE], idx, axis=1)
+                sel = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
             psum = jax.lax.dot_general(
                 ones,
                 sel,
@@ -232,6 +239,7 @@ def _lut_gemv_packed(
         k=cfg.n_cluster,
         block_j=bj,
         has_scales=has_scales,
+        explicit_mod=interpret,
     )
     out = pl.pallas_call(
         kern,

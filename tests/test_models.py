@@ -26,7 +26,11 @@ def test_quantized_linear_strategies_agree(rng):
     y_dense = layer.apply(cfg, x, strategy="dense_bf16")
     want = golden.lut_gemm(cfg, params, x.reshape(-1, 128)).reshape(4, 3, 192)
     np.testing.assert_allclose(np.asarray(y_lut), np.asarray(want), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(y_dq), np.asarray(want), rtol=1e-4, atol=1e-4)
+    # dequant_mm defaults to bf16x2 tables (serving precision)
+    s = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(y_dq) / s, np.asarray(want) / s, rtol=2e-2, atol=2e-2
+    )
     np.testing.assert_allclose(np.asarray(y_dense), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 

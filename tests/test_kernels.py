@@ -65,6 +65,28 @@ def test_lut_gemv_tmac(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_lut_gemv_tmac_nibble_packed(rng):
+    """Packed-nibble T-MAC storage (2 codes/byte, half the code traffic —
+    the reference's 4-bit layout, vq.py:62) matches the unpacked path."""
+    cfg = tmac(128, bits=3, group=4)
+    params = init_vq_params(rng, cfg, 256)
+    packed = pack_params(cfg, params, block_j=256, nibble_pack=True)
+    unpacked = pack_params(cfg, params, block_j=256)
+    assert packed.codes_t.shape[0] * 2 >= unpacked.codes_t.shape[0]
+    assert packed.codes_t.size < unpacked.codes_t.size  # traffic halved
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, cfg.d_in), dtype=jnp.float32)
+    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
+    want = golden.lut_gemm(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_nibble_pack_rejects_8bit(rng):
+    cfg = aqlm_2x8(256, group=8)
+    params = init_vq_params(rng, cfg, 128)
+    with pytest.raises(ValueError, match="4-bit"):
+        pack_params(cfg, params, nibble_pack=True)
+
+
 def test_lut_gemv_batch_chunking(rng):
     """Batches beyond MAX_LUT_BATCH are chunked across kernel launches."""
     cfg = VQConfig(128, 16, 2, 128)

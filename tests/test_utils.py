@@ -1,0 +1,37 @@
+"""Profiling report + multihost helpers (single-host degenerate cases)."""
+
+import jax
+import numpy as np
+
+from tpu_lutvq.dist.multihost import assert_same_across_hosts, barrier, init_multihost
+from tpu_lutvq.models import LlamaConfig
+from tpu_lutvq.utils.profiling import layer_report
+
+
+def test_layer_report_structure():
+    cfg = LlamaConfig.llama2_7b()
+    rows = layer_report(cfg, batch=1)
+    assert rows[-1]["proj"] == "TOTAL/layer"
+    projs = {r["proj"] for r in rows[:-1]}
+    assert projs == {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
+    for r in rows[:-1]:
+        assert r["pred_us"] > 0
+        assert r["strategy"] in ("lut_gemv", "dequant_mm", "dense_bf16")
+        # perf_cnt categories present (reference vq.py:30-36)
+        for cat in ("codeword", "codebook", "lut", "inp", "psum"):
+            assert cat in r
+    # decode B=1 must pick the LUT kernel everywhere
+    assert all(r["strategy"] == "lut_gemv" for r in rows[:-1])
+
+
+def test_layer_report_batched_flips_strategy():
+    cfg = LlamaConfig.llama2_7b()
+    rows = layer_report(cfg, batch=64)
+    assert all(r["strategy"] == "dequant_mm" for r in rows[:-1])
+
+
+def test_multihost_single_host():
+    info = init_multihost()
+    assert info["process_count"] == 1
+    barrier("test")  # must not raise on a healthy single host
+    assert_same_across_hosts(42, "model-hash")

@@ -1,0 +1,69 @@
+"""Multi-host initialization, barrier, and fail-fast checks (SURVEY.md §5:
+failure detection — minimal by design, matching the mandate).
+
+Usage on each host of a pod slice::
+
+    from tpu_lutvq.dist.multihost import init_multihost, barrier
+    init_multihost()              # jax.distributed.initialize from env
+    barrier("weights-loaded")     # all-hosts sync point, with timeout
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Initialize jax.distributed (no-op on a single host) and return
+    topology info.  TPU pods auto-discover from the environment."""
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def barrier(tag: str = "", timeout_s: float = 300.0) -> None:
+    """All-hosts barrier: a tiny psum across every device.  Raises on
+    timeout/failure instead of hanging forever (fail-fast)."""
+    start = time.time()
+    try:
+        x = jnp.ones((len(jax.local_devices()),))
+        total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
+        val = float(np.asarray(total)[0])
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError(f"barrier {tag!r} failed: {e}") from e
+    expect = float(len(jax.devices()))
+    if val != expect:
+        raise RuntimeError(
+            f"barrier {tag!r}: psum {val} != device count {expect} "
+            "(a host is missing or degraded)"
+        )
+    if time.time() - start > timeout_s:
+        raise RuntimeError(f"barrier {tag!r} exceeded {timeout_s}s")
+
+
+def assert_same_across_hosts(value: int, tag: str = "") -> None:
+    """Cheap config-consistency check: every host must pass the same value
+    (catches mismatched model configs before they corrupt a run)."""
+    x = jnp.full((len(jax.local_devices()),), value, jnp.int32)
+    mn = jax.pmap(lambda v: jax.lax.pmin(v, "i"), axis_name="i")(x)
+    mx = jax.pmap(lambda v: jax.lax.pmax(v, "i"), axis_name="i")(x)
+    if int(np.asarray(mn)[0]) != int(np.asarray(mx)[0]):
+        raise RuntimeError(f"config mismatch across hosts for {tag!r}")

@@ -87,6 +87,7 @@ class PackedVQ:
     scales: Optional[jax.Array]
     d_out: int
     shards: int = 1  # column-parallel TP shards this array was packed for
+    nibbles: bool = False  # 4-bit codes packed two-groups-per-byte (T-MAC)
 
     @property
     def local_d_out(self) -> int:
@@ -96,14 +97,23 @@ class PackedVQ:
         return self.d_out // self.shards
 
     def tree_flatten(self):
-        return (self.codes_t, self.codebook, self.scales), (self.d_out, self.shards)
+        return (self.codes_t, self.codebook, self.scales), (
+            self.d_out,
+            self.shards,
+            self.nibbles,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         codes_t, codebook, scales = children
-        d_out, shards = aux
+        d_out, shards, nibbles = aux
         return cls(
-            codes_t=codes_t, codebook=codebook, scales=scales, d_out=d_out, shards=shards
+            codes_t=codes_t,
+            codebook=codebook,
+            scales=scales,
+            d_out=d_out,
+            shards=shards,
+            nibbles=nibbles,
         )
 
 
@@ -112,6 +122,7 @@ def pack_params(
     params: VQParams,
     block_j: int = DEFAULT_BLOCK_J,
     shards: int = 1,
+    nibble_pack: bool = False,
 ) -> PackedVQ:
     """Transpose codes to ``(G, d_out)`` (n-major groups) and pad for the
     kernel.  With ``shards > 1`` (column-parallel TP), each shard's chunk is
@@ -148,12 +159,22 @@ def pack_params(
     codes_t = pad_chunks(codes_t, 0)
     if scales is not None:
         scales = pad_chunks(scales, 1.0)
+    if nibble_pack:
+        # 4-bit codes: two consecutive groups per byte (T-MAC storage,
+        # reference vq.py:62 / lut_ctor.cc interleaved nibble layout) —
+        # halves code traffic.  Row r holds groups 2r (lo) and 2r+1 (hi).
+        if cfg.index_bits != 4:
+            raise ValueError("nibble_pack requires 4-bit codes (K=16)")
+        if codes_t.shape[0] % 16:
+            codes_t = jnp.pad(codes_t, ((0, 16 - codes_t.shape[0] % 16), (0, 0)))
+        codes_t = codes_t[0::2] | (codes_t[1::2] << 4)
     return PackedVQ(
         codes_t=codes_t,
         codebook=params.codebook,
         scales=scales,
         d_out=d_out,
         shards=shards,
+        nibbles=nibble_pack,
     )
 
 
@@ -199,6 +220,36 @@ def _gemv_kernel(
             out_ref[b, t * LANE : (t + 1) * LANE] = psum[0]
 
 
+def _gemv_kernel_nibbles(
+    lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, block_j, has_scales
+):
+    """Nibble-packed variant (T-MAC, K=16): one code byte = two groups.
+
+    lut_ref: (batch·g, Kp) with per-batch rows [even groups ; odd groups]
+    codes_ref: (g/2, block_j) packed bytes
+    """
+    gh = g // 2
+    ones = jnp.ones((1, gh), dtype=jnp.float32)
+    for t in range(block_j // LANE):
+        v = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (gh,128)
+        idx_e = v & 0xF
+        idx_o = v >> 4
+        for b in range(batch):
+            te = lut_ref[b * g : b * g + gh, :LANE]
+            to = lut_ref[b * g + gh : (b + 1) * g, :LANE]
+            sel_e = jnp.take_along_axis(te, idx_e, axis=1)
+            sel_o = jnp.take_along_axis(to, idx_o, axis=1)
+            dot = lambda t_, s_: jax.lax.dot_general(
+                t_, s_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            psum = dot(ones, sel_e) + dot(ones, sel_o)  # (1, 128)
+            if has_scales:
+                psum = psum * scales_ref[:, t * LANE : (t + 1) * LANE]
+            out_ref[b, t * LANE : (t + 1) * LANE] = psum[0]
+
+
 def _lut_gemv_packed(
     cfg: VQConfig,
     packed: PackedVQ,
@@ -209,19 +260,21 @@ def _lut_gemv_packed(
 ) -> jax.Array:
     """Run the lookup kernel given prebuilt LUTs ``(B, G, Kp)``."""
     batch = lut.shape[0]
-    g_pad, d_out_pad = packed.codes_t.shape
+    rows, d_out_pad = packed.codes_t.shape
+    g_pad = 2 * rows if packed.nibbles else rows
     kp = lut.shape[-1]
     if cfg.n_cluster > 2 * LANE:
         raise ValueError(
             f"lookup kernel supports K ≤ {2*LANE}; K={cfg.n_cluster} uses the "
             "dequant-matmul path (tpu_lutvq.kernels.dequant_mm)"
         )
-    lut2 = lut.reshape(batch * lut.shape[1], kp)
+    lut3 = lut
     if lut.shape[1] != g_pad:  # pad G axis per batch entry
-        lut2 = jnp.pad(
-            lut.reshape(batch, lut.shape[1], kp),
-            ((0, 0), (0, g_pad - lut.shape[1]), (0, 0)),
-        ).reshape(batch * g_pad, kp)
+        lut3 = jnp.pad(lut, ((0, 0), (0, g_pad - lut.shape[1]), (0, 0)))
+    if packed.nibbles:
+        # per-batch row order [even groups ; odd groups] to match byte packing
+        lut3 = jnp.concatenate([lut3[:, 0::2], lut3[:, 1::2]], axis=1)
+    lut2 = lut3.reshape(batch * g_pad, kp)
     valid = _valid_width(packed)
     bj = _resolve_block(d_out_pad, block_j)
     scales = packed.scales
@@ -232,21 +285,30 @@ def _lut_gemv_packed(
     else:
         scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
 
-    kern = functools.partial(
-        _gemv_kernel,
-        batch=batch,
-        g=g_pad,
-        k=cfg.n_cluster,
-        block_j=bj,
-        has_scales=has_scales,
-        explicit_mod=interpret,
-    )
+    if packed.nibbles:
+        kern = functools.partial(
+            _gemv_kernel_nibbles,
+            batch=batch,
+            g=g_pad,
+            block_j=bj,
+            has_scales=has_scales,
+        )
+    else:
+        kern = functools.partial(
+            _gemv_kernel,
+            batch=batch,
+            g=g_pad,
+            k=cfg.n_cluster,
+            block_j=bj,
+            has_scales=has_scales,
+            explicit_mod=interpret,
+        )
     out = pl.pallas_call(
         kern,
         grid=(d_out_pad // bj,),
         in_specs=[
             pl.BlockSpec((batch * g_pad, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
             scale_spec,
         ],
         out_specs=pl.BlockSpec((batch, bj), lambda j: (0, j), memory_space=pltpu.VMEM),

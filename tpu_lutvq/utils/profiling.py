@@ -1,0 +1,89 @@
+"""Tracing / profiling utilities (SURVEY.md §5).
+
+The reference profiles with manual timers (bench_avx_lut.cpp:179-186,
+benchmark_rq_gemm_cpu.py:17-24) plus an *analytical* profile — the
+``perf_cnt`` off-chip bit counters (vq.py:30-36).  TPU-native equivalents:
+
+- ``trace()``: context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable trace directory.
+- ``layer_report()``: the analytical profile — per-projection traffic/op
+  counts and predicted rooflines for a model config, from the dataflow
+  cost model (the perf_cnt analog, upgraded with VPU/MXU ceilings).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+
+from tpu_lutvq.core.config import aqlm_2x8
+from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
+from tpu_lutvq.dataflow.traffic import STRATEGIES, pick_strategy
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/tpu_lutvq_trace"):
+    """``with trace("dir"): run()`` → profiler trace for TensorBoard/xprof."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def layer_report(
+    llama_cfg,
+    batch: int = 1,
+    chip: Optional[ChipSpec] = None,
+) -> list[dict]:
+    """Analytical per-projection profile of one decoder layer.
+
+    Returns rows with traffic split (codeword/codebook/lut/inp/psum — the
+    reference's perf_cnt categories), op counts, chosen strategy, and
+    predicted time at each projection's auto-picked kernel.
+    """
+    chip = chip or default_chip()
+    shapes = {
+        "wq": (llama_cfg.hidden, llama_cfg.q_dim),
+        "wk": (llama_cfg.hidden, llama_cfg.kv_dim),
+        "wv": (llama_cfg.hidden, llama_cfg.kv_dim),
+        "wo": (llama_cfg.q_dim, llama_cfg.hidden),
+        "w_gate": (llama_cfg.hidden, llama_cfg.ffn),
+        "w_up": (llama_cfg.hidden, llama_cfg.ffn),
+        "w_down": (llama_cfg.ffn, llama_cfg.hidden),
+    }
+    rows = []
+    for name, (d_in, d_out) in shapes.items():
+        cfg = llama_cfg.vq_cfg(d_in)
+        strat = pick_strategy(cfg, d_out, batch)
+        cost = STRATEGIES[strat](cfg, d_out, batch)
+        rows.append(
+            {
+                "proj": name,
+                "d_in": d_in,
+                "d_out": d_out,
+                "strategy": strat,
+                **{k: round(v / 2**20, 4) for k, v in cost.hbm_bytes.items()},
+                "vpu_gops": round(cost.vpu_ops / 1e9, 3),
+                "mxu_gflop": round(cost.mxu_flops / 1e9, 3),
+                "pred_us": round(cost.time_s(chip) * 1e6, 2),
+                "bound": cost.bound(chip),
+            }
+        )
+    total = sum(r["pred_us"] for r in rows)
+    rows.append({"proj": "TOTAL/layer", "pred_us": round(total, 2)})
+    return rows
+
+
+def print_layer_report(llama_cfg, batch: int = 1) -> None:
+    for r in layer_report(llama_cfg, batch):
+        if r["proj"].startswith("TOTAL"):
+            print(f"{'TOTAL/layer':12s} {r['pred_us']:>10.1f} us")
+        else:
+            print(
+                f"{r['proj']:12s} {r['d_in']:>6d}x{r['d_out']:<6d} "
+                f"{r['strategy']:11s} {r['pred_us']:>8.1f} us  {r['bound']}-bound  "
+                f"codes {r['codeword']:.2f} MB"
+            )

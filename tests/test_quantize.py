@@ -1,0 +1,52 @@
+"""Quantizer tests: fitting dense weights into AQLM-style codes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.core import golden
+from tpu_lutvq.core.config import aqlm_2x8
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.core.quantize import fit_vq, quantization_error
+
+
+def test_fit_recovers_representable_weight(rng):
+    """A weight generated from VQ params must be re-quantizable with low
+    error (the fixture is exactly representable)."""
+    cfg = aqlm_2x8(64, group=8, shared_codebook=True)
+    true = init_vq_params(rng, cfg, 96, dtype=jnp.float32)
+    w = golden.dequantize(cfg, true)
+    fitted = fit_vq(jax.random.PRNGKey(1), w, cfg, iters=6)
+    err = quantization_error(cfg, fitted, w)
+    assert err < 0.15, err
+
+
+def test_fit_beats_random_and_improves_with_iters(rng):
+    cfg = aqlm_2x8(64, group=8, shared_codebook=True)
+    w = jax.random.normal(rng, (128, 64), dtype=jnp.float32)
+    rand = init_vq_params(jax.random.PRNGKey(2), cfg, 128, dtype=jnp.float32)
+    e_rand = quantization_error(cfg, rand, w)
+    e_0 = quantization_error(cfg, fit_vq(jax.random.PRNGKey(3), w, cfg, iters=0), w)
+    e_6 = quantization_error(cfg, fit_vq(jax.random.PRNGKey(3), w, cfg, iters=6), w)
+    assert e_6 <= e_0 + 1e-6, (e_6, e_0)
+    assert e_6 < 0.8 * e_rand, (e_6, e_rand)
+
+
+def test_fitted_params_run_through_kernels(rng):
+    """End-to-end: quantize dense W, run the fused kernel, compare y ≈ Wx."""
+    from tpu_lutvq.kernels import lut_gemv, pack_params
+
+    cfg = aqlm_2x8(64, group=8, shared_codebook=True)
+    w = jax.random.normal(rng, (128, 64), dtype=jnp.float32) * 0.1
+    params = fit_vq(jax.random.PRNGKey(4), w, cfg, iters=6)
+    packed = pack_params(cfg, params, block_j=128)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64), dtype=jnp.float32)
+    y = lut_gemv(cfg, packed, x, block_j=128, interpret=True)
+    y_true = x @ w.T
+    rel = float(jnp.linalg.norm(y - y_true) / jnp.linalg.norm(y_true))
+    # 2-bit quantization of Gaussian noise: bounded, not tiny
+    assert rel < 0.75, rel
+    # and the kernel agrees with the golden model on the FITTED params exactly
+    y_gold = golden.lut_gemm(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_gold), rtol=1e-4, atol=1e-4)

@@ -1,0 +1,103 @@
+"""Fit VQ parameters to a dense weight matrix (the quantizer).
+
+The reference consumes checkpoints quantized by external repos (AQLM/VPTQ/
+gptvq submodules, .gitmodules:1-24 — not checked out); this module provides
+the capability natively: additive-codebook fitting by residual initialization
++ alternating minimization (greedy coordinate-descent assignment ↔ cluster-
+mean codebook update), with optional per-output scales.  All inner steps are
+MXU matmuls (assignment = argmin distance via x·cᵀ).
+
+This is a calibration-free weight-only quantizer (MSE objective) — adequate
+for round-trip tests and usable quantization; activation-aware objectives
+can layer on top.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.ann.kmeans import kmeans
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import VQParams, codes_dtype
+
+
+def _assign_to(cb: jax.Array, x: jax.Array) -> jax.Array:
+    """Nearest codebook row per sample: cb (K, d), x (S, d) → (S,)."""
+    dots = x @ cb.T
+    c2 = jnp.sum(cb * cb, axis=1)
+    return jnp.argmin(c2[None] - 2.0 * dots, axis=1)
+
+
+def _update_codebook(x_target: jax.Array, assign: jax.Array, k: int) -> jax.Array:
+    onehot = jax.nn.one_hot(assign, k, dtype=x_target.dtype)
+    sums = onehot.T @ x_target
+    counts = jnp.sum(onehot, axis=0)[:, None]
+    return sums / jnp.maximum(counts, 1.0)
+
+
+def fit_vq(
+    key: jax.Array,
+    w: jax.Array,
+    cfg: VQConfig,
+    iters: int = 8,
+    kmeans_iters: int = 15,
+    with_scales: bool = True,
+) -> VQParams:
+    """Quantize ``w (d_out, d_in)`` into codes + codebooks under ``cfg``.
+
+    Only shared codebooks are fitted (AQLM semantics); per-subvector
+    codebooks reduce to running this per subvector.
+    """
+    d_out, d_in = w.shape
+    assert d_in == cfg.d_in, (d_in, cfg.d_in)
+    m, n, k, g = cfg.n_subvec, cfg.n_codebook, cfg.n_cluster, cfg.d_subvec
+    x = w.astype(jnp.float32).reshape(d_out * m, g)  # subvector samples
+
+    # 1. residual-quantization init
+    cbs = []
+    codes = []
+    resid = x
+    for nn in range(n):
+        cb, a = kmeans(jax.random.fold_in(key, nn), resid, k, kmeans_iters)
+        cbs.append(cb)
+        codes.append(a)
+        resid = resid - cb[a]
+
+    # 2. alternating refinement
+    for it in range(iters):
+        for nn in range(n):
+            others = sum(
+                (cbs[j][codes[j]] for j in range(n) if j != nn),
+                jnp.zeros_like(x),
+            )
+            target = x - others
+            codes[nn] = _assign_to(cbs[nn], target)
+            cbs[nn] = _update_codebook(target, codes[nn], k)
+
+    codebook = jnp.stack(cbs)[None]  # (1, N, K, g) shared
+    codes_arr = jnp.stack(codes, axis=-1).reshape(d_out, m, n).astype(codes_dtype(cfg))
+
+    scales = None
+    if with_scales:
+        recon = sum(cbs[nn][codes[nn]] for nn in range(n)).reshape(d_out, d_in)
+        wf = w.astype(jnp.float32)
+        num = jnp.sum(recon * wf, axis=1)
+        den = jnp.maximum(jnp.sum(recon * recon, axis=1), 1e-20)
+        scales = (num / den).astype(jnp.float32)
+
+    # codebook is (1, N, K, g); broadcast_codebook expands it for any cfg
+    return VQParams(codebook=codebook, codes=codes_arr, scales=scales)
+
+
+def quantization_error(cfg: VQConfig, params: VQParams, w: jax.Array) -> float:
+    """Relative Frobenius reconstruction error ||W − Ŵ|| / ||W||."""
+    from tpu_lutvq.core.golden import dequantize
+
+    w_hat = dequantize(cfg, params)
+    wf = w.astype(jnp.float32)
+    return float(
+        jnp.linalg.norm(w_hat - wf) / jnp.maximum(jnp.linalg.norm(wf), 1e-20)
+    )

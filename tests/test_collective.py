@@ -1,0 +1,86 @@
+"""Overlapped ring collectives: equivalence with the blocking psum path on a
+virtual CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tpu_lutvq.core import golden
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.dist import make_tp_mesh
+from tpu_lutvq.dist.collective import (
+    overlapped_row_parallel_gemv,
+    ring_all_gather,
+    ring_reduce_scatter,
+)
+from tpu_lutvq.dist.tp import repack_row_parallel, shard_map
+from tpu_lutvq.kernels import pack_params
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs ≥4 (virtual) devices"
+)
+
+
+def test_ring_reduce_scatter_and_gather_match_psum():
+    p = 4
+    mesh = make_tp_mesh(p)
+    data = jnp.arange(p * 2 * p * 32, dtype=jnp.float32).reshape(p, 2, p * 32)
+
+    def body(local):
+        local = local[0]  # (2, p*32)
+
+        def partial_fn(blk):
+            return jax.lax.dynamic_slice(
+                local, (jnp.int32(0), blk.astype(jnp.int32) * 32), (2, 32)
+            )
+
+        block, idx = ring_reduce_scatter(partial_fn, "tp", p)
+        return ring_all_gather(block, "tp", p, idx)[None]
+
+    got = shard_map(
+        body, mesh=mesh, in_specs=(P("tp"),), out_specs=P("tp"), check_vma=False
+    )(data)
+    want = jnp.sum(data, axis=0)  # psum over devices of each device's slices
+    for d in range(p):
+        np.testing.assert_allclose(np.asarray(got[d]), np.asarray(want), rtol=1e-6)
+
+
+def test_overlapped_row_parallel_matches_golden():
+    """TP row-parallel GEMV through the ring == unsharded golden result."""
+    p = 4
+    mesh = make_tp_mesh(p)
+    cfg = VQConfig(256, 32, 2, 128)  # G=64 → 16 rows/device
+    d_out = 512  # chunk 128 per ring block
+    params = init_vq_params(jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32,
+                            with_scales=True)
+    packed = repack_row_parallel(cfg, pack_params(cfg, params, block_j=128), p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.d_in), jnp.float32)
+    want = golden.lut_gemm(cfg, params, x)
+
+    import dataclasses
+
+    local_cfg = dataclasses.replace(cfg, d_in=cfg.d_in // p, n_subvec=cfg.n_subvec // p)
+
+    def body(codes_t, codebook, scales, x):
+        local = dataclasses.replace(
+            packed, codes_t=codes_t, codebook=codebook, scales=scales
+        )
+        # x sharded on features: this device's subvector slice
+        return overlapped_row_parallel_gemv(
+            local_cfg, local, x, "tp", p, interpret=True
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("tp"), P("tp"), P(), P(None, "tp")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = fn(packed.codes_t, packed.codebook, packed.scales, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

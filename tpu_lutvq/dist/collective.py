@@ -1,0 +1,125 @@
+"""Overlapped collectives: ring-pipelined row-parallel LUT-GEMV.
+
+The naive row-parallel epilogue is compute-everything → one blocking psum
+(dist/tp.py).  This module provides the collective-matmul formulation
+mandated by the north star ("all-gather/reduce-scatter overlapped with the
+fused LUT-matmul"): the output dimension is split into one chunk per device;
+partials for each chunk are computed *lazily inside the ring*, so the
+ppermute transfer of chunk s overlaps the kernel computing chunk s+1 (XLA
+schedules collective-permute asynchronously; the next partial does not
+depend on the in-flight buffer).
+
+Ring reduce-scatter (P-1 steps, each: send accumulated block, add own
+partial of the newly received block) followed by ring all-gather when a
+replicated output is needed (residual adds in the decoder).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.kernels import lut_gemv
+from tpu_lutvq.kernels.lut_gemv import PackedVQ, _valid_width
+
+
+def _ring_perm(p: int) -> list[tuple[int, int]]:
+    return [(i, (i + 1) % p) for i in range(p)]
+
+
+def ring_reduce_scatter(
+    partial_fn: Callable[[jax.Array], jax.Array],
+    axis: str,
+    p: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Reduce-scatter with lazily computed partials.
+
+    partial_fn(block_idx) → this device's partial for that output block
+    (block_idx is traced).  Returns (my_block, my_block_index) where
+    my_block is the fully reduced block ``(me + 1) % p``.
+    """
+    me = jax.lax.axis_index(axis)
+    acc = partial_fn(me)  # block I will send first
+    for s in range(p - 1):
+        acc = jax.lax.ppermute(acc, axis, _ring_perm(p))
+        blk = (me - s - 1) % p
+        acc = acc + partial_fn(blk)
+    return acc, (me + 1) % p
+
+
+def ring_all_gather(block: jax.Array, axis: str, p: int, my_idx: jax.Array) -> jax.Array:
+    """Gather equal blocks from all devices into index order along axis -1.
+
+    my_idx is each device's block index (traced); blocks are rotated around
+    the ring and scattered into position with a one-hot mask (avoids
+    dynamic-update-slice shape issues under vmap-of-shardmap)."""
+    d = block.shape[-1]
+    out = jnp.zeros(block.shape[:-1] + (p * d,), block.dtype)
+
+    def place(out, blk, idx):
+        mask = jax.nn.one_hot(idx, p, dtype=blk.dtype)  # (p,)
+        contrib = jnp.einsum("...d,p->...pd", blk, mask).reshape(
+            blk.shape[:-1] + (p * d,)
+        )
+        return out + contrib
+
+    out = place(out, block, my_idx)
+    blk, idx = block, my_idx
+    for s in range(p - 1):
+        blk = jax.lax.ppermute(blk, axis, _ring_perm(p))
+        idx = jax.lax.ppermute(idx, axis, _ring_perm(p))
+        out = place(out, blk, idx)
+    return out
+
+
+def overlapped_row_parallel_gemv(
+    cfg: VQConfig,
+    packed: PackedVQ,
+    x_local: jax.Array,
+    axis: str,
+    p: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-parallel LUT-GEMV with ring-overlapped reduction.
+
+    Each device holds its group-shard of the codes (as produced by
+    ``repack_row_parallel``) and its activation shard ``x_local``; the output
+    (full d_out, replicated) is produced by reduce-scatter+all-gather with
+    per-chunk kernels overlapping the ring transfers.
+
+    Requires d_out % p == 0 and the packed width to equal d_out (lane-
+    aligned), which holds for Llama hidden sizes.
+    """
+    d_out = _valid_width(packed)
+    if d_out % p:
+        raise ValueError(f"d_out={d_out} must divide by ring size {p}")
+    chunk = d_out // p
+    if chunk % 128:
+        raise ValueError(f"ring chunk {chunk} must be lane-aligned")
+
+    def partial_fn(blk):
+        codes_c = jax.lax.dynamic_slice(
+            packed.codes_t,
+            (jnp.int32(0), blk.astype(jnp.int32) * chunk),
+            (packed.codes_t.shape[0], chunk),
+        )
+        scales_c = None
+        if packed.scales is not None:
+            scales_c = jax.lax.dynamic_slice(
+                packed.scales, (jnp.int32(0), blk.astype(jnp.int32) * chunk), (1, chunk)
+            )
+        sub = PackedVQ(
+            codes_t=codes_c,
+            codebook=packed.codebook,
+            scales=scales_c,
+            d_out=chunk,
+            shards=1,
+            nibbles=packed.nibbles,
+        )
+        return lut_gemv(cfg, sub, x_local, block_j=chunk, interpret=interpret)
+
+    block, my_idx = ring_reduce_scatter(partial_fn, axis, p)
+    return ring_all_gather(block, axis, p, my_idx)

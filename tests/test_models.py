@@ -95,6 +95,25 @@ def test_llama_quantized_matches_dense_path(tiny_model):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-3)
 
 
+def test_llama_scan_matches_loop(tiny_model):
+    """lax.scan over stacked layers == python loop over layers."""
+    from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
+
+    cfg, weights = tiny_model
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (2, 3), 0, cfg.vocab_size)
+    l1, _ = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, 2), jnp.int32(0),
+        strategy="dequant_mm", interpret=True,
+    )
+    sw = stack_llama_weights(weights)
+    l2, caches2 = llama_forward(
+        cfg, sw, tokens, init_stacked_caches(cfg, 2), jnp.int32(0),
+        strategy="dequant_mm", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+    assert caches2.k_q.shape[0] == cfg.n_layers  # layer axis leading
+
+
 def test_llama_gqa_shapes():
     cfg = LlamaConfig.tiny(n_heads=4, n_kv_heads=2)
     weights = init_llama(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)

@@ -33,10 +33,24 @@ MODELS = {
 
 
 def run(model: str = "tiny", batch: int = 1, steps: int = 32,
-        strategy: str = "auto", interpret: bool = False) -> list[dict]:
+        strategy: str = "auto", interpret: bool = False,
+        scan_layers: bool = True) -> list[dict]:
+    from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
+
     cfg = LlamaConfig(**MODELS[model])
-    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-    caches = init_caches(cfg, batch)
+    # one-dispatch init: hundreds of per-layer RNG/pack ops would each pay
+    # the dispatch round-trip otherwise
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def build(key):
+        w = init_llama(key, cfg, dtype=jnp.float32)
+        return stack_llama_weights(w) if scan_layers else w
+
+    weights = build(jax.random.PRNGKey(0))
+    jax.tree.leaves(weights)[0].block_until_ready()
+    caches = init_stacked_caches(cfg, batch) if scan_layers else init_caches(cfg, batch)
+    print(f"init: {time.perf_counter() - t0:.1f}s")
     tokens = jnp.zeros((batch,), jnp.int32)
 
     @jax.jit

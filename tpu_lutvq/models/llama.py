@@ -222,36 +222,76 @@ def _block(
     return x, cache
 
 
+def stack_llama_weights(weights: LlamaWeights) -> LlamaWeights:
+    """Stack per-layer weights on a leading axis for ``lax.scan`` execution.
+
+    Compile-time matters on TPU: a python loop over L layers inlines L copies
+    of every Pallas kernel into one XLA program; scanning one stacked layer
+    compiles the layer body once.  Returns a LlamaWeights whose ``layers``
+    is a 1-tuple holding the stacked LayerWeights.
+    """
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *weights.layers)
+    return weights._replace(layers=(stacked,))
+
+
+def init_stacked_caches(cfg: LlamaConfig, batch: int) -> KVCache:
+    """One KVCache with a leading layer axis: (L, B, S, H_kv, Dh)."""
+    return jax.tree.map(
+        lambda *xs: jnp.stack(xs), *init_caches(cfg, batch)
+    )
+
+
 def llama_forward(
     cfg: LlamaConfig,
     weights: LlamaWeights,
     tokens: jax.Array,  # (B, T) int32
-    caches: tuple[KVCache, ...],
+    caches,  # tuple[KVCache, ...] (loop) | KVCache with layer axis (scan)
     pos: jax.Array,  # scalar int32, or (B,) for per-sequence positions
     *,
     strategy: str = "auto",
     interpret: bool = False,
     axis_name: Optional[str] = None,
-) -> tuple[jax.Array, tuple[KVCache, ...]]:
+):
     """Forward pass over T new tokens at absolute position(s) ``pos``.
 
     With ``axis_name`` set (inside shard_map over a TP mesh axis) the layer
     dims in ``cfg`` must be the per-device locals; row-parallel projections
     are psum-reduced over the axis.
 
-    Returns (logits (B, T, vocab) float32, updated caches).
+    Two execution modes, selected by the cache container:
+    - caches = tuple of per-layer KVCache → python loop (weights.layers is
+      the per-layer tuple);
+    - caches = one stacked KVCache (layer axis leading) → ``lax.scan`` over
+      the stacked weights from :func:`stack_llama_weights` (fast compiles).
+
+    Returns (logits (B, T, vocab) float32, updated caches — same container).
     """
     pos = jnp.asarray(pos, jnp.int32)
     if pos.ndim == 0:
         pos = jnp.full((tokens.shape[0],), pos, jnp.int32)
     x = weights.embed[tokens].astype(jnp.float32)
-    new_caches = []
-    for lw, cache in zip(weights.layers, caches):
-        x, cache = _block(cfg, lw, x, cache, pos, strategy, interpret, axis_name)
-        new_caches.append(cache)
+    if isinstance(caches, KVCache):  # scan mode
+        if len(weights.layers) != 1:
+            raise ValueError(
+                "stacked caches require stacked weights (stack_llama_weights)"
+            )
+        stacked = weights.layers[0]
+
+        def body(x, layer_in):
+            lw, cache = layer_in
+            x, cache = _block(cfg, lw, x, cache, pos, strategy, interpret, axis_name)
+            return x, cache
+
+        x, new_caches = jax.lax.scan(body, x, (stacked, caches))
+    else:
+        new_caches = []
+        for lw, cache in zip(weights.layers, caches):
+            x, cache = _block(cfg, lw, x, cache, pos, strategy, interpret, axis_name)
+            new_caches.append(cache)
+        new_caches = tuple(new_caches)
     x = rms_norm(x, weights.final_norm, cfg.rms_eps)
     logits = weights.lm_head(x).astype(jnp.float32)
-    return logits, tuple(new_caches)
+    return logits, new_caches
 
 
 def llama_decode_step(

@@ -131,3 +131,29 @@ def test_full_llama_checkpoint_roundtrip(tmp_path):
 def test_open_checkpoint_missing(tmp_path):
     with pytest.raises(FileNotFoundError, match="safetensors"):
         open_checkpoint(str(tmp_path))
+
+
+def test_native_save_load_roundtrip(tmp_path):
+    """save_lutvq/load_lutvq round-trips bit-exactly and the restored model
+    decodes identically."""
+    import jax
+
+    from tpu_lutvq.models import init_llama
+    from tpu_lutvq.runtime.checkpoint import load_lutvq, save_lutvq
+
+    cfg = LlamaConfig.tiny(n_layers=2, hidden=64, ffn=128, n_heads=2,
+                           n_kv_heads=2, vocab_size=32, max_seq=16)
+    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    path = str(tmp_path / "model.lutvq.safetensors")
+    save_lutvq(path, cfg, weights)
+    cfg2, weights2 = load_lutvq(path)
+    assert cfg2 == cfg
+    for a, b in zip(jax.tree.leaves(weights), jax.tree.leaves(weights2)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tokens = jnp.asarray([[1, 2]], jnp.int32)
+    l1, _ = llama_forward(cfg, weights, tokens, init_caches(cfg, 1), jnp.int32(0),
+                          strategy="dequant_mm", interpret=True)
+    l2, _ = llama_forward(cfg2, weights2, tokens, init_caches(cfg2, 1), jnp.int32(0),
+                          strategy="dequant_mm", interpret=True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

@@ -177,3 +177,105 @@ def load_aqlm_llama(
         final_norm=get("model.norm.weight").astype(jnp.float32),
         lm_head=DenseLinear(w=get("lm_head.weight").astype(jnp.bfloat16)),
     )
+
+
+# --- native (pre-packed) checkpoint format ---
+#
+# The loaded/quantized model can be persisted in kernel-ready layout so
+# serving restarts skip the HF parse + transpose + repack (the reference has
+# no persistence at all, SURVEY.md §5 checkpoint/resume).  Format: one
+# safetensors file with path-flattened leaves + a JSON sidecar carrying the
+# static structure (LlamaConfig, PackedVQ aux, dense-vs-quantized markers).
+
+_NATIVE_SUFFIX = ".lutvq.safetensors"
+
+
+def save_lutvq(path: str, cfg: LlamaConfig, weights: LlamaWeights) -> None:
+    """Persist a (possibly stacked) LlamaWeights pytree in native layout."""
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    tensors: dict[str, np.ndarray] = {}
+    meta: dict = {
+        "config": dataclasses.asdict(cfg),
+        "n_layer_entries": len(weights.layers),
+        "layers": [],
+    }
+
+    def put(name: str, arr) -> None:
+        tensors[name] = np.ascontiguousarray(np.asarray(arr))
+
+    put("embed", weights.embed)
+    put("final_norm", weights.final_norm)
+    put("lm_head", weights.lm_head.w)
+    for i, lw in enumerate(weights.layers):
+        lmeta: dict = {}
+        put(f"layer.{i}.attn_norm", lw.attn_norm)
+        put(f"layer.{i}.mlp_norm", lw.mlp_norm)
+        for field in PROJ_NAMES:
+            proj = getattr(lw, field)
+            base = f"layer.{i}.{field}"
+            if isinstance(proj, DenseLinear):
+                lmeta[field] = {"kind": "dense"}
+                put(f"{base}.w", proj.w)
+            else:
+                p = proj.packed
+                lmeta[field] = {
+                    "kind": "vq",
+                    "d_out": p.d_out,
+                    "shards": p.shards,
+                    "nibbles": p.nibbles,
+                    "has_scales": p.scales is not None,
+                }
+                put(f"{base}.codes_t", p.codes_t)
+                put(f"{base}.codebook", p.codebook)
+                if p.scales is not None:
+                    put(f"{base}.scales", p.scales)
+        meta["layers"].append(lmeta)
+    save_file(tensors, path, metadata={"lutvq": json.dumps(meta)})
+
+
+def load_lutvq(path: str) -> tuple[LlamaConfig, LlamaWeights]:
+    """Restore a native checkpoint written by :func:`save_lutvq`."""
+    from safetensors import safe_open
+
+    from tpu_lutvq.kernels.lut_gemv import PackedVQ
+
+    with safe_open(path, framework="np") as f:
+        meta = json.loads(f.metadata()["lutvq"])
+        get = lambda name: jnp.asarray(f.get_tensor(name))
+
+        cfg = LlamaConfig(**meta["config"])
+        layers = []
+        for i, lmeta in enumerate(meta["layers"]):
+            fields = {}
+            for field in PROJ_NAMES:
+                base = f"layer.{i}.{field}"
+                fm = lmeta[field]
+                if fm["kind"] == "dense":
+                    fields[field] = DenseLinear(w=get(f"{base}.w"))
+                else:
+                    fields[field] = QuantizedLinear(
+                        packed=PackedVQ(
+                            codes_t=get(f"{base}.codes_t"),
+                            codebook=get(f"{base}.codebook"),
+                            scales=get(f"{base}.scales") if fm["has_scales"] else None,
+                            d_out=fm["d_out"],
+                            shards=fm["shards"],
+                            nibbles=fm["nibbles"],
+                        )
+                    )
+            layers.append(
+                LayerWeights(
+                    attn_norm=get(f"layer.{i}.attn_norm"),
+                    mlp_norm=get(f"layer.{i}.mlp_norm"),
+                    **fields,
+                )
+            )
+        return cfg, LlamaWeights(
+            embed=get("embed"),
+            layers=tuple(layers),
+            final_norm=get("final_norm"),
+            lm_head=DenseLinear(w=get("lm_head")),
+        )

@@ -1,0 +1,114 @@
+"""Serving/demo CLI.
+
+    python -m tpu_lutvq.cli generate --ckpt model.lutvq.safetensors --tokens 1,2,3
+    python -m tpu_lutvq.cli generate --aqlm <hf_dir> --model 7b --tokens 1,2,3
+    python -m tpu_lutvq.cli quantize --out model.lutvq.safetensors --model tiny
+    python -m tpu_lutvq.cli report --model 7b --batch 1
+
+A tokenizer (transformers) is used when --tokenizer is given; otherwise raw
+token ids are accepted/emitted, so the CLI works in hermetic environments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _parse_tokens(s: str) -> list[int]:
+    return [int(t) for t in s.replace(" ", "").split(",") if t]
+
+
+def cmd_generate(args) -> None:
+    from tpu_lutvq.models import LlamaConfig
+    from tpu_lutvq.runtime import generate
+    from tpu_lutvq.runtime.checkpoint import load_aqlm_llama, load_lutvq
+
+    if args.ckpt:
+        cfg, weights = load_lutvq(args.ckpt)
+    elif args.aqlm:
+        presets = {"7b": LlamaConfig.llama2_7b, "13b": LlamaConfig.llama2_13b,
+                   "70b": LlamaConfig.llama2_70b}
+        cfg = presets[args.model]()
+        weights = load_aqlm_llama(args.aqlm, cfg)
+    else:
+        print("error: provide --ckpt or --aqlm", file=sys.stderr)
+        sys.exit(2)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        ids = tok(args.prompt or "", return_tensors="np")["input_ids"][0].tolist()
+    else:
+        ids = _parse_tokens(args.tokens or "1")
+    prompt = jnp.asarray([ids], jnp.int32)
+    res = generate(
+        cfg, weights, prompt, max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature, top_k=args.top_k,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    out = np.asarray(res.tokens)[0, len(ids):].tolist()
+    if args.tokenizer:
+        print(tok.decode(out))
+    else:
+        print(",".join(map(str, out)))
+
+
+def cmd_quantize(args) -> None:
+    from tpu_lutvq.models import LlamaConfig, init_llama
+    from tpu_lutvq.runtime.checkpoint import save_lutvq
+
+    cfg = LlamaConfig.tiny() if args.model == "tiny" else LlamaConfig.llama2_7b()
+    weights = init_llama(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32)
+    save_lutvq(args.out, cfg, weights)
+    print(f"wrote {args.out}")
+
+
+def cmd_report(args) -> None:
+    from tpu_lutvq.models import LlamaConfig
+    from tpu_lutvq.utils.profiling import print_layer_report
+
+    presets = {"7b": LlamaConfig.llama2_7b, "13b": LlamaConfig.llama2_13b,
+               "70b": LlamaConfig.llama2_70b, "tiny": LlamaConfig.tiny}
+    print_layer_report(presets[args.model](), batch=args.batch)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="tpu_lutvq")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="decode from a checkpoint")
+    g.add_argument("--ckpt", help="native .lutvq.safetensors checkpoint")
+    g.add_argument("--aqlm", help="HF AQLM checkpoint dir/file")
+    g.add_argument("--model", default="7b", choices=["7b", "13b", "70b"])
+    g.add_argument("--tokens", help="comma-separated prompt token ids")
+    g.add_argument("--prompt", help="text prompt (needs --tokenizer)")
+    g.add_argument("--tokenizer", help="HF tokenizer path")
+    g.add_argument("--max-new-tokens", type=int, default=32)
+    g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_generate)
+
+    q = sub.add_parser("quantize", help="write a (synthetic) native checkpoint")
+    q.add_argument("--out", required=True)
+    q.add_argument("--model", default="tiny")
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(fn=cmd_quantize)
+
+    r = sub.add_parser("report", help="analytical per-layer roofline report")
+    r.add_argument("--model", default="7b")
+    r.add_argument("--batch", type=int, default=1)
+    r.set_defaults(fn=cmd_report)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

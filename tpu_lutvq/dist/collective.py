@@ -81,7 +81,7 @@ def overlapped_row_parallel_gemv(
     x_local: jax.Array,
     axis: str,
     p: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Row-parallel LUT-GEMV with ring-overlapped reduction.
 

@@ -234,7 +234,7 @@ def make_tp_decode_step(
     mesh: Mesh,
     axis: str = "tp",
     strategy: str = "auto",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Jitted SPMD decode step: (weights, tokens (B,), caches, pos) →
     (logits (B, vocab), caches)."""
@@ -275,7 +275,7 @@ def make_tp_prefill(
     mesh: Mesh,
     axis: str = "tp",
     strategy: str = "auto",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Jitted SPMD prefill: (weights, tokens (B,T), caches, pos) →
     (logits (B,T,vocab), caches)."""

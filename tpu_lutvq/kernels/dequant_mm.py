@@ -220,7 +220,7 @@ def dequant_matmul(
     block_j: int = DEFAULT_BLOCK_J,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
     tables: str = "bf16x2",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Batched fused dequant-matmul: ``(B, d_in) → (B, d_out)`` float32.
 
@@ -232,6 +232,9 @@ def dequant_matmul(
     bf16 MXU (serving precision).  "f32": full-precision tables (reference
     oracle path; also required for odd d_subvec).
     """
+    from tpu_lutvq.kernels.lut_ctor import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     if cfg.n_cluster > 2 * LANE:
         raise ValueError("dequant_matmul supports K ≤ 256 (use load-time dequant for 1x16)")
     if cfg.d_subvec % 2:

@@ -24,6 +24,13 @@ from tpu_lutvq.core.params import broadcast_codebook
 LANE = 128  # TPU vreg lane count; gather tables must be exactly this wide
 
 
+def resolve_interpret(interpret) -> bool:
+    """None → interpret automatically off-TPU (portable dev/CI on CPU)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def build_lut(
     cfg: VQConfig,
     codebook: jax.Array,

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_lutvq.core.config import VQConfig
 from tpu_lutvq.core.params import VQParams
-from tpu_lutvq.kernels.lut_ctor import LANE, build_lut
+from tpu_lutvq.kernels.lut_ctor import LANE, build_lut, resolve_interpret
 
 DEFAULT_BLOCK_J = 1024  # measured DMA sweet spot on v5e (exp/probe_gather8.py)
 MAX_LUT_BATCH = 8  # tokens whose LUTs are VMEM-resident simultaneously
@@ -324,13 +324,16 @@ def lut_gemv(
     x: jax.Array,
     *,
     block_j: int = DEFAULT_BLOCK_J,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Fused LUT-VQ matmul: ``(B, d_in) → (B, d_out)`` float32.
 
     Streams codes once (VeLU dataflow); LUTs for up to ``MAX_LUT_BATCH``
     tokens are VMEM-resident per kernel launch, larger batches are chunked.
     """
+    from tpu_lutvq.kernels.lut_ctor import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     batch = x.shape[0]
     outs = []
     for b0 in range(0, batch, MAX_LUT_BATCH):

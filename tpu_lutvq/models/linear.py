@@ -59,7 +59,7 @@ class QuantizedLinear(NamedTuple):
         x: jax.Array,
         *,
         strategy: str = "auto",
-        interpret: bool = False,
+        interpret: bool | None = None,
     ) -> jax.Array:
         """x: (..., d_in) → (..., d_out) float32."""
         lead = x.shape[:-1]

@@ -189,7 +189,7 @@ def _block(
     cache: KVCache,
     pos: jax.Array,  # (B,) int32: index of first new token per sequence
     strategy: str,
-    interpret: bool,
+    interpret: bool | None,
     axis_name: Optional[str] = None,  # TP mesh axis: psum row-parallel outputs
 ) -> tuple[jax.Array, KVCache]:
     b, t, h = x.shape
@@ -249,7 +249,7 @@ def llama_forward(
     pos: jax.Array,  # scalar int32, or (B,) for per-sequence positions
     *,
     strategy: str = "auto",
-    interpret: bool = False,
+    interpret: bool | None = None,
     axis_name: Optional[str] = None,
 ):
     """Forward pass over T new tokens at absolute position(s) ``pos``.

@@ -54,7 +54,7 @@ class ContinuousBatcher:
         weights: LlamaWeights,
         n_slots: int = 8,
         strategy: str = "auto",
-        interpret: bool = False,
+        interpret: bool | None = None,
         seed: int = 0,
     ):
         self.cfg = cfg

@@ -53,7 +53,7 @@ def generate(
     eos_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     strategy: str = "auto",
-    interpret: bool = False,
+    interpret: bool | None = None,
     jit: bool = True,
 ) -> GenerationResult:
     """Prefill the prompt, then decode ``max_new_tokens`` greedily/sampled."""

@@ -12,6 +12,7 @@ Run: python -m tpu_lutvq.bench.e2e [--model tiny|1b|7b] [--batch 1]
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 import jax
@@ -53,20 +54,35 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
     print(f"init: {time.perf_counter() - t0:.1f}s")
     tokens = jnp.zeros((batch,), jnp.int32)
 
-    @jax.jit
-    def step(tokens, caches, pos):
-        logits, caches = llama_decode_step(
-            cfg, weights, tokens, caches, pos, strategy=strategy,
-            interpret=interpret,
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def decode_n(weights, tokens, caches, pos0, n_steps):
+        """n_steps greedy decode steps in ONE dispatch (host round-trips
+        through the tunnel cost ~ms and would swamp per-step time).  Weights
+        are an argument, NOT a closure — closed-over arrays embed as HLO
+        literals and a 1B-scale constant blob kills the remote compiler."""
+
+        def body(carry, i):
+            tokens, caches = carry
+            logits, caches = llama_decode_step(
+                cfg, weights, tokens, caches, pos0 + i, strategy=strategy,
+                interpret=interpret,
+            )
+            return (jnp.argmax(logits, axis=-1).astype(jnp.int32), caches), None
+
+        (tokens, caches), _ = jax.lax.scan(
+            body, (tokens, caches), jnp.arange(n_steps)
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
+        return tokens, caches
 
     # warmup + sync (scalar fetch — block_until_ready unreliable via tunnel)
-    tokens, caches = step(tokens, caches, jnp.zeros((batch,), jnp.int32))
+    tokens, caches = decode_n(
+        weights, tokens, caches, jnp.zeros((batch,), jnp.int32), n_steps=steps
+    )
     int(tokens[0])
     t0 = time.perf_counter()
-    for i in range(steps):
-        tokens, caches = step(tokens, caches, jnp.full((batch,), i + 1, jnp.int32))
+    tokens, caches = decode_n(
+        weights, tokens, caches, jnp.full((batch,), steps, jnp.int32), n_steps=steps
+    )
     int(tokens[0])
     dt = (time.perf_counter() - t0) / steps
     toks_per_s = batch / dt

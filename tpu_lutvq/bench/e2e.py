@@ -34,7 +34,7 @@ MODELS = {
 
 
 def run(model: str = "tiny", batch: int = 1, steps: int = 32,
-        strategy: str = "auto", interpret: bool = False,
+        strategy: str = "auto", interpret: bool | None = None,
         scan_layers: bool = True) -> list[dict]:
     from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
 
@@ -113,7 +113,7 @@ if __name__ == "__main__":
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
     args = ap.parse_args()
-    rows = run(args.model, args.batch, args.steps, args.strategy, args.interpret)
+    rows = run(args.model, args.batch, args.steps, args.strategy, args.interpret or None)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

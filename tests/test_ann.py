@@ -121,3 +121,36 @@ def test_opq_rotation_is_orthogonal_and_helps(rng):
     pq = ProductQuantizer(d=16, m=4, k=16).train(jax.random.PRNGKey(11), x, iters=10)
     mse_pq = float(jnp.mean((pq.decode(pq.encode(x)) - x) ** 2))
     assert opq.reconstruction_mse(x) < mse_pq * 1.05  # at least as good
+
+
+def test_mixed_width_pq(rng):
+    """Heterogeneous sub-quantizer widths (QuickerADC 5/5/6-bit analog)."""
+    from tpu_lutvq.ann.pq import MixedPQ
+
+    x, _, _ = clustered_data(rng, n=400, d=24, centers=16)
+    mpq = MixedPQ(d=24, ks=(32, 32, 64)).train(jax.random.PRNGKey(12), x, iters=15)
+    codes = mpq.encode(x)
+    assert codes.shape == (400, 3)
+    assert int(codes[:, 0].max()) < 32 and int(codes[:, 2].max()) < 64
+    mse = float(jnp.mean((mpq.decode(codes) - x) ** 2))
+    assert mse < 1.0
+    vals, idx = mpq.search(x[:4], codes, topk=5, interpret=True)
+    hits = sum(int(idx[i, 0]) == i for i in range(4))
+    assert hits >= 3  # self-search finds itself
+
+
+def test_sdc_search_close_to_adc(pq_setup):
+    """Symmetric search ranks roughly like asymmetric search."""
+    from tpu_lutvq.ann.pq import sdc_search
+
+    pq, x = pq_setup
+    db = x[:256]
+    codes = pq.encode(db)
+    qcodes = pq.encode(x[:4])
+    v_sdc, i_sdc = sdc_search(pq, qcodes, codes, topk=5, interpret=True)
+    v_adc, i_adc = pq.search(x[:4], codes, topk=5, metric="l2", interpret=True)
+    overlap = np.mean([
+        len(set(np.asarray(i_sdc[q]).tolist()) & set(np.asarray(i_adc[q]).tolist())) / 5
+        for q in range(4)
+    ])
+    assert overlap >= 0.6, overlap  # SDC is coarser but correlated

@@ -210,3 +210,122 @@ class ResidualQuantizer:
         )
         scores = _scan_codes(self.cfg, tables, codes, interpret=interpret)
         return jax.lax.top_k(scores, topk)
+
+
+@dataclasses.dataclass
+class MixedPQ:
+    """Heterogeneous sub-quantizer widths — QuickerADC's signature capability
+    (VecProductQuantizer.h: 5/5/6-bit and 8/8-bit epi16 variants pack
+    different K per subquantizer into SIMD lanes).
+
+    TPU-native re-expression: per-subquantizer ``ks`` with tables lane-padded
+    to ``max(ks)`` (the scan kernel requires a uniform table width; padding
+    costs only table memory, exactness is preserved because codes never index
+    the padding).  Codes pack into the narrowest dtype that fits max(ks).
+    """
+
+    d: int
+    ks: tuple  # e.g. (32, 32, 64) — one K per subquantizer
+    quantizers: Optional[list] = None  # per-sub centroids (K_i, dsub)
+
+    def __post_init__(self):
+        self.ks = tuple(self.ks)
+        if self.d % len(self.ks):
+            raise ValueError(f"d={self.d} not divisible by m={len(self.ks)}")
+
+    @property
+    def m(self) -> int:
+        return len(self.ks)
+
+    @property
+    def dsub(self) -> int:
+        return self.d // self.m
+
+    @property
+    def k_max(self) -> int:
+        return max(self.ks)
+
+    @property
+    def cfg(self) -> VQConfig:
+        k_pad = 1 << (self.k_max - 1).bit_length()
+        return VQConfig(self.d, self.m, 1, k_pad)
+
+    def train(self, key: jax.Array, x: jax.Array, iters: int = 20) -> "MixedPQ":
+        xs = x.reshape(x.shape[0], self.m, self.dsub)
+        self.quantizers = []
+        for mm, k in enumerate(self.ks):
+            c, _ = kmeans(jax.random.fold_in(key, mm), xs[:, mm], k, iters)
+            self.quantizers.append(c)
+        return self
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        xs = x.reshape(x.shape[0], self.m, self.dsub).astype(jnp.float32)
+        codes = []
+        for mm, c in enumerate(self.quantizers):
+            dots = xs[:, mm] @ c.T
+            c2 = jnp.sum(c * c, axis=1)
+            codes.append(jnp.argmin(c2[None] - 2 * dots, axis=1))
+        out = jnp.stack(codes, axis=1)
+        return out.astype(jnp.uint8 if self.k_max <= 256 else jnp.uint16)
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        rec = [
+            self.quantizers[mm][codes[:, mm].astype(jnp.int32)]
+            for mm in range(self.m)
+        ]
+        return jnp.stack(rec, axis=1).reshape(codes.shape[0], self.d)
+
+    def search(
+        self, queries: jax.Array, codes: jax.Array, topk: int = 10,
+        metric: str = "l2", interpret: bool | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Scan with per-subquantizer tables padded to a uniform width.
+
+        L2 padding uses +inf-like large values (codes never select them);
+        IP padding uses 0."""
+        qs = queries.reshape(queries.shape[0], self.m, self.dsub).astype(jnp.float32)
+        kp = self.cfg.n_cluster  # _scan_codes lane-pads to 128 itself
+        fill = 0.0
+        tabs = []
+        for mm, c in enumerate(self.quantizers):
+            dots = qs[:, mm] @ c.astype(jnp.float32).T  # (q, K_mm)
+            if metric == "l2":
+                c2 = jnp.sum(c.astype(jnp.float32) ** 2, axis=1)
+                q2 = jnp.sum(qs[:, mm] ** 2, axis=1, keepdims=True)
+                t = q2 - 2 * dots + c2[None]
+            else:
+                t = dots
+            tabs.append(jnp.pad(t, ((0, 0), (0, kp - t.shape[1])), constant_values=fill))
+        tables = jnp.stack(tabs, axis=1)  # (q, m, kp)
+        scores = _scan_codes(self.cfg, tables, codes, interpret=interpret)
+        if metric == "l2":
+            vals, idx = jax.lax.top_k(-scores, topk)
+            return -vals, idx
+        return jax.lax.top_k(scores, topk)
+
+
+def sdc_tables(pq: "ProductQuantizer") -> jax.Array:
+    """Symmetric distance tables: ``sdc[m, k1, k2] = ||c_m[k1] − c_m[k2]||²``
+    (the reference's SDC path, VecProductQuantizer.h:1309-1387) — enables
+    code-to-code search without decoding."""
+    c = pq.centroids.astype(jnp.float32)  # (M, K, d)
+    c2 = jnp.sum(c * c, axis=-1)
+    dots = jnp.einsum("mkd,mjd->mkj", c, c)
+    return c2[:, :, None] - 2.0 * dots + c2[:, None, :]
+
+
+def sdc_search(
+    pq: "ProductQuantizer",
+    query_codes: jax.Array,  # (q, M) encoded queries
+    db_codes: jax.Array,  # (n, M)
+    topk: int = 10,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric (code-to-code) L2 search: per query, its code row selects a
+    distance table slice which then drives the same LUT scan."""
+    sdc = sdc_tables(pq)  # (M, K, K)
+    m_idx = jnp.arange(pq.m)[None, :]
+    tables = sdc[m_idx, query_codes.astype(jnp.int32)]  # (q, M, K)
+    scores = _scan_codes(pq.cfg, tables, db_codes, interpret=interpret)
+    vals, idx = jax.lax.top_k(-scores, topk)
+    return -vals, idx

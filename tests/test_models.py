@@ -125,3 +125,22 @@ def test_llama_gqa_shapes():
     assert logits.shape == (3, 2, cfg.vocab_size)
     assert caches[0].k_q.shape == (3, cfg.max_seq, 2, cfg.head_dim)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_windowed_attention_matches_full():
+    """Decode with window switching == full-cache attention exactly
+    (masked tails are exact zeros in softmax)."""
+    from tpu_lutvq.models.llama import _attention, _attention_window
+    from tpu_lutvq.models.kv_cache import KVCache, update_cache
+
+    cfg = LlamaConfig.tiny(n_heads=2, n_kv_heads=2, hidden=64, max_seq=1024)
+    cache = KVCache.init(2, 1024, 2, 32)
+    k = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 2, 32))
+    v = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 2, 32))
+    cache = update_cache(cache, k, v, jnp.asarray([0, 0], jnp.int32))
+    q = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 2, 32))
+    pos = jnp.asarray([4, 4], jnp.int32)
+    out_win = jax.jit(lambda q: _attention(cfg, q, cache, pos))(q)
+    out_full = _attention_window(cfg, q, cache, pos, 1024)
+    np.testing.assert_allclose(np.asarray(out_win), np.asarray(out_full),
+                               rtol=1e-6, atol=1e-6)

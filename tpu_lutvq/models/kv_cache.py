@@ -41,6 +41,17 @@ class KVCache(NamedTuple):
     def max_seq(self) -> int:
         return self.k_q.shape[1]
 
+    def slice_prefix(self, window: int) -> "KVCache":
+        """Static-size prefix view [0, window) of the sequence axis."""
+        if window == self.max_seq:
+            return self
+        return KVCache(
+            k_q=self.k_q[:, :window],
+            v_q=self.v_q[:, :window],
+            k_scale=self.k_scale[:, :window],
+            v_scale=self.v_scale[:, :window],
+        )
+
 
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(B, T, H, Dh) → int8 values + (B, T, H) scales (symmetric, per row)."""

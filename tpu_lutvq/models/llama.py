@@ -156,30 +156,47 @@ def rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
-def _attention(
+def _attention_window(
     cfg: LlamaConfig,
     q: jax.Array,  # (B, T, H, Dh)
     cache: KVCache,
-    t_offset: jax.Array,  # (B,) position of q[:, 0] per sequence
+    t_offset: jax.Array,  # (B,)
+    window: int,  # static prefix of the cache to attend over
 ) -> jax.Array:
     b, t, nh, dh = q.shape
     rep = cfg.n_heads // cfg.n_kv_heads
-    k = dequantize_k(cache)  # (B, S, Hkv, Dh)
-    v = dequantize_v(cache)
+    k = dequantize_k(cache.slice_prefix(window))  # (B, W, Hkv, Dh)
+    v = dequantize_v(cache.slice_prefix(window))
     if rep > 1:
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
     scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k) / jnp.sqrt(
         jnp.float32(dh)
     )
-    s = cache.max_seq
-    spos = jnp.arange(s)[None, None, None, :]
+    spos = jnp.arange(window)[None, None, None, :]
     qpos = t_offset[:, None, None, None] + jnp.arange(t)[None, None, :, None]
     mask = spos <= qpos  # causal within each sequence's own timeline
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bshd->bthd", probs, v)
     return out.reshape(b, t, nh * dh)
+
+
+def _attention(
+    cfg: LlamaConfig,
+    q: jax.Array,  # (B, T, H, Dh)
+    cache: KVCache,
+    t_offset: jax.Array,  # (B,) position of q[:, 0] per sequence
+) -> jax.Array:
+    """Attention over the full static INT8 cache window.
+
+    A ``lax.switch`` over power-of-two cache windows was tried to avoid
+    reading the whole max_seq every decode step, but measured 80% SLOWER
+    end-to-end (the branch inside the layer scan defeats XLA's scan
+    optimization and forces cache copies) — see BENCH_NOTES.md.  Length
+    bucketing belongs at the jit level (recompile per bucket), a round-2
+    item; ``_attention_window``/``KVCache.slice_prefix`` are the pieces."""
+    return _attention_window(cfg, q, cache, t_offset, cache.max_seq)
 
 
 def _block(

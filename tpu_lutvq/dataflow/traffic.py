@@ -22,11 +22,12 @@ from typing import Optional
 from tpu_lutvq.core.config import VQConfig
 from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
 
-# Calibrated VPU lane-op costs per code per token (v5e, exp/bench_kernels_tpu2.py):
-# u8->i32 convert ~2, &127 + cmp ~2 (K>128 only), gathers 1-2, select 1,
-# plus measured kernel overhead.
-_OPS_PER_CODE_K256 = 9.0
-_OPS_PER_CODE_K128 = 5.0
+# Calibrated VPU lane-op costs per code per token (v5e; fitted against
+# measured 4096×11008: 96 µs B=1 post wrap-mod optimization, ~950 µs B=8 —
+# in practice almost nothing amortizes across the batch, convert included).
+_OPS_PER_CODE_K256 = 9.5
+_OPS_PER_CODE_K128 = 5.3
+_OPS_PER_CODE_SHARED = 0.0
 # dequant_mm: per code, batch-amortized: d words × (2 gathers + select + sums
 # + scratch store); calibrated on v5e (830us for 11008×1024 codes, d=8 →
 # 8.8 lane-ops/code-word; theoretical floor ~3.4 — optimization headroom).
@@ -85,7 +86,7 @@ def cost_lut_gemv(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
     lut_bytes = 2 * batch * cfg.n_groups * kp * 4  # HBM write + read
     n_codes = d_out * cfg.n_groups
     ops = _OPS_PER_CODE_K256 if cfg.n_cluster > 128 else _OPS_PER_CODE_K128
-    vpu = n_codes * (2.0 + (ops - 2.0) * batch)  # load/convert shared, gather per token
+    vpu = n_codes * (_OPS_PER_CODE_SHARED + ops * batch)
     mxu = 2 * batch * cfg.lut_entries * cfg.d_subvec  # LUT build
     mxu += 2 * batch * d_out * cfg.n_groups  # ones-reduce
     vmem = batch * cfg.n_groups * kp * 4 + 2 * cfg.n_groups * 1024

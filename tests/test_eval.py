@@ -1,0 +1,41 @@
+"""Perplexity evaluation: the quantized kernel path must score text the same
+as the dense-dequantized path on identical weights (the mechanism behind
+"exact AQLM perplexity parity" — dequant is a bit-exact lookup)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.models import LlamaConfig, init_llama
+from tpu_lutvq.runtime.eval import perplexity, sequence_logprobs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = LlamaConfig.tiny(n_layers=1, max_seq=32, vocab_size=64)
+    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 64)
+    return cfg, weights, tokens
+
+
+def test_quantized_vs_dense_perplexity_parity(setup):
+    cfg, weights, tokens = setup
+    p_lut = perplexity(cfg, weights, tokens, strategy="lut_gemv", interpret=True)
+    p_dense = perplexity(cfg, weights, tokens, strategy="dense_bf16")
+    assert abs(p_lut - p_dense) / p_dense < 2e-3, (p_lut, p_dense)
+
+
+def test_logprobs_shape_and_range(setup):
+    cfg, weights, tokens = setup
+    lp = sequence_logprobs(cfg, weights, tokens, strategy="dequant_mm", interpret=True)
+    assert lp.shape == (2, 11)
+    assert float(lp.max()) <= 0.0
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_perplexity_chunking(setup):
+    cfg, weights, _ = setup
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 25), 0, 64)
+    p = perplexity(cfg, weights, tokens, chunk=8, strategy="dense_bf16")
+    assert np.isfinite(p) and p > 1.0

@@ -10,7 +10,6 @@ hypercube initialization at :80-128).  Lloyd iterations are one jitted
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from tpu_lutvq.ann.kmeans import kmeans
 from tpu_lutvq.core.config import VQConfig
 from tpu_lutvq.core.params import VQParams
-from tpu_lutvq.kernels import lut_gemv, pack_params, quantize_lut_int8
+from tpu_lutvq.kernels import pack_params, quantize_lut_int8
 from tpu_lutvq.kernels.lut_ctor import LANE
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import csv
 import datetime
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ can layer on top.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

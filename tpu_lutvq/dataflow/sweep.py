@@ -12,7 +12,7 @@ import csv
 import io
 from typing import Optional
 
-from tpu_lutvq.core.config import VQConfig, aqlm_2x8, pq_ann, rq_ann, tmac
+from tpu_lutvq.core.config import aqlm_2x8, pq_ann, rq_ann, tmac
 from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
 from tpu_lutvq.dataflow.traffic import STRATEGIES
 

@@ -21,9 +21,6 @@ two psums per layer; XLA lowers those to ICI all-reduces.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
@@ -223,10 +220,6 @@ def shard_llama_tp(
     return jax.tree.map(
         lambda w, s: jax.device_put(w, s) if s is not None else w, weights, shardings
     )
-
-
-def _row_parallel_d_out_fix(local_cfg: LlamaConfig, weights: LlamaWeights) -> None:
-    pass  # d_out of row-parallel layers is global (hidden); nothing to fix
 
 
 def make_tp_decode_step(

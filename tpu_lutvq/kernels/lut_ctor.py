@@ -13,8 +13,6 @@ used by the ANN scan path.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

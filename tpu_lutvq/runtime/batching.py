@@ -16,13 +16,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_lutvq.models.kv_cache import KVCache, write_cache_slot
+from tpu_lutvq.models.kv_cache import write_cache_slot
 from tpu_lutvq.models.llama import (
     LlamaConfig,
     LlamaWeights,

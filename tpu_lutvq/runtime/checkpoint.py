@@ -28,8 +28,7 @@ from __future__ import annotations
 
 import json
 import os
-import re
-from typing import Callable, Optional, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

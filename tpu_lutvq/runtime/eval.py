@@ -1,0 +1,65 @@
+"""Perplexity / log-likelihood evaluation.
+
+The north star requires "exact AQLM perplexity match at equal bit-width"
+(BASELINE.json): dequantization is a bit-exact table lookup, so a model
+loaded from an AQLM checkpoint must score text identically to the AQLM
+reference at matching matmul precision.  This module provides the scoring
+loop; the parity test (tests/test_eval.py) checks the mechanism — that the
+quantized kernels and the dense-dequantized path yield the same perplexity
+on the same weights.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.models.llama import (
+    LlamaConfig,
+    LlamaWeights,
+    init_caches,
+    llama_forward,
+)
+
+
+def sequence_logprobs(
+    cfg: LlamaConfig,
+    weights: LlamaWeights,
+    tokens: jax.Array,  # (B, T) int32
+    *,
+    strategy: str = "auto",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Teacher-forced log p(t_i | t_<i) for positions 1..T-1 → (B, T-1)."""
+    logits, _ = llama_forward(
+        cfg,
+        weights,
+        tokens,
+        init_caches(cfg, tokens.shape[0]),
+        jnp.int32(0),
+        strategy=strategy,
+        interpret=interpret,
+    )
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+
+
+def perplexity(
+    cfg: LlamaConfig,
+    weights: LlamaWeights,
+    tokens: jax.Array,
+    chunk: Optional[int] = None,
+    **kw,
+) -> float:
+    """exp(−mean log-likelihood) over all predicted positions.
+
+    ``chunk`` splits long sequences into independent windows of that many
+    tokens (standard strided perplexity evaluation; windows don't attend
+    across the boundary)."""
+    if chunk is not None and tokens.shape[1] > chunk:
+        t = tokens.shape[1] // chunk * chunk
+        tokens = tokens[:, :t].reshape(-1, chunk)
+    lp = sequence_logprobs(cfg, weights, tokens, **kw)
+    return float(jnp.exp(-jnp.mean(lp)))

@@ -8,9 +8,8 @@ control flow inside jit.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

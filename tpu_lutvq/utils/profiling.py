@@ -18,7 +18,6 @@ from typing import Optional
 
 import jax
 
-from tpu_lutvq.core.config import aqlm_2x8
 from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
 from tpu_lutvq.dataflow.traffic import STRATEGIES, pick_strategy
 

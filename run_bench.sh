@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Tiered benchmark runner — the analog of the reference's run_bench_avx.sh /
+# run_bench_lut_gemm.sh harnesses (compile N variants, echo machine metadata,
+# run each tier).  Results also land as CSV artifacts under artifacts/.
+set -u
+cd "$(dirname "$0")"
+mkdir -p artifacts
+
+echo "=== device ==="
+python - <<'PY'
+from tpu_lutvq.bench.harness import device_metadata
+for k, v in device_metadata().items():
+    print(f"{k}: {v}")
+PY
+
+echo "=== headline ==="
+python bench.py
+
+echo "=== kernel tier (GLUT/s) ==="
+python -m tpu_lutvq.bench.microbench --csv artifacts/microbench.csv
+
+echo "=== layer tier (vs dense, Llama-2 shapes) ==="
+for model in 7b 13b; do
+  for batch in 1 32; do
+    python -m tpu_lutvq.bench.layer --model $model --batch $batch \
+      --csv artifacts/layer_${model}_b${batch}.csv
+  done
+done
+
+echo "=== e2e tier (decode tok/s) ==="
+python -m tpu_lutvq.bench.e2e --model 1b --batch 1 --steps 64 --csv artifacts/e2e_1b.csv
+python -m tpu_lutvq.bench.e2e --model 1b --batch 8 --steps 64 --csv artifacts/e2e_1b_b8.csv
+
+echo "=== analytical sweep ==="
+python -m tpu_lutvq.dataflow.sweep artifacts/dataflow_sweep.csv

@@ -33,6 +33,50 @@ MODELS = {
 }
 
 
+def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
+                strategy: str = "auto", interpret: bool | None = None) -> list[dict]:
+    """Prefill tier: tokens/s processing a (batch, seq) prompt."""
+    from tpu_lutvq.models.llama import (
+        init_stacked_caches,
+        llama_forward,
+        stack_llama_weights,
+    )
+
+    cfg = LlamaConfig(**MODELS[model])
+    seq = min(seq, cfg.max_seq - 1)
+
+    @jax.jit
+    def build(key):
+        return stack_llama_weights(init_llama(key, cfg, dtype=jnp.float32))
+
+    weights = build(jax.random.PRNGKey(0))
+    caches = init_stacked_caches(cfg, batch)
+    tokens = jnp.zeros((batch, seq), jnp.int32)
+
+    @jax.jit
+    def prefill(weights, tokens, caches):
+        logits, caches = llama_forward(
+            cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
+            interpret=interpret,
+        )
+        return logits[:, -1], caches
+
+    out, _ = prefill(weights, tokens, caches)
+    float(out[0, 0])
+    t0 = time.perf_counter()
+    out, _ = prefill(weights, tokens, caches)
+    float(out[0, 0])
+    dt = time.perf_counter() - t0
+    row = {
+        "model": model, "batch": batch, "seq": seq, "strategy": strategy,
+        "prefill_ms": round(dt * 1e3, 1),
+        "prefill_tokens_per_s": round(batch * seq / dt, 1),
+    }
+    print(f"{model} prefill B={batch} T={seq} [{strategy}]: "
+          f"{row['prefill_ms']} ms, {row['prefill_tokens_per_s']} tok/s")
+    return [row]
+
+
 def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         strategy: str = "auto", interpret: bool | None = None,
         scan_layers: bool = True) -> list[dict]:
@@ -112,8 +156,13 @@ if __name__ == "__main__":
     ap.add_argument("--strategy", default="auto")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--prefill", type=int, default=0, help="prefill bench with this seq len")
     args = ap.parse_args()
-    rows = run(args.model, args.batch, args.steps, args.strategy, args.interpret or None)
+    if args.prefill:
+        rows = run_prefill(args.model, args.batch, args.prefill, args.strategy,
+                           args.interpret or None)
+    else:
+        rows = run(args.model, args.batch, args.steps, args.strategy, args.interpret or None)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

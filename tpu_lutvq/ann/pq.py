@@ -98,7 +98,7 @@ class ProductQuantizer:
         topk: int = 10,
         metric: str = "l2",
         table_dtype: str = "f32",
-        interpret: bool = False,
+        interpret: bool | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Scan the encoded database and return (values, indices) of the
         top-k nearest (metric="l2") or highest-scoring (metric="ip").
@@ -126,7 +126,7 @@ class ProductQuantizer:
 
 
 def _scan_codes(
-    cfg: VQConfig, tables: jax.Array, codes: jax.Array, interpret: bool = False
+    cfg: VQConfig, tables: jax.Array, codes: jax.Array, interpret: bool | None = None
 ) -> jax.Array:
     """Score all database codes against per-query tables using the fused
     lookup-accumulate kernel (scores[q, i] = Σ_m tables[q, m, codes[i, m]])."""
@@ -202,7 +202,7 @@ class ResidualQuantizer:
         queries: jax.Array,
         codes: jax.Array,
         topk: int = 10,
-        interpret: bool = False,
+        interpret: bool | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         """IP search over additive codes: score = Σ_n q·c_n[code_n]."""
         tables = jnp.einsum(

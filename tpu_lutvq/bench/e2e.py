@@ -89,7 +89,9 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
 
     @jax.jit
     def build(key):
-        w = init_llama(key, cfg, dtype=jnp.float32)
+        # bf16 codebooks: synthetic per-subvector codebooks at f32 cost 1.9 GB
+        # on 7B (real AQLM shared codebooks are KBs); kernels compute in f32
+        w = init_llama(key, cfg, dtype=jnp.bfloat16)
         return stack_llama_weights(w) if scan_layers else w
 
     weights = build(jax.random.PRNGKey(0))
@@ -98,7 +100,7 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
     print(f"init: {time.perf_counter() - t0:.1f}s")
     tokens = jnp.zeros((batch,), jnp.int32)
 
-    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
     def decode_n(weights, tokens, caches, pos0, n_steps):
         """n_steps greedy decode steps in ONE dispatch (host round-trips
         through the tunnel cost ~ms and would swamp per-step time).  Weights

@@ -256,9 +256,10 @@ def _lut_gemv_packed(
     lut: jax.Array,
     *,
     block_j: int,
-    interpret: bool,
+    interpret: bool | None,
 ) -> jax.Array:
     """Run the lookup kernel given prebuilt LUTs ``(B, G, Kp)``."""
+    interpret = resolve_interpret(interpret)
     batch = lut.shape[0]
     rows, d_out_pad = packed.codes_t.shape
     g_pad = 2 * rows if packed.nibbles else rows

@@ -165,20 +165,30 @@ def _attention_window(
 ) -> jax.Array:
     b, t, nh, dh = q.shape
     rep = cfg.n_heads // cfg.n_kv_heads
-    k = dequantize_k(cache.slice_prefix(window))  # (B, W, Hkv, Dh)
-    v = dequantize_v(cache.slice_prefix(window))
+    # dequantized cache kept in bf16 (halves the transient footprint — f32
+    # materialization OOMed 7B at B=8·S=2048); scores accumulate in f32
+    k = dequantize_k(cache.slice_prefix(window)).astype(jnp.bfloat16)
+    v = dequantize_v(cache.slice_prefix(window)).astype(jnp.bfloat16)
     if rep > 1:
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k) / jnp.sqrt(
-        jnp.float32(dh)
-    )
+    scores = jnp.einsum(
+        "bthd,bshd->bhts",
+        q.astype(jnp.bfloat16),
+        k,
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(jnp.float32(dh))
     spos = jnp.arange(window)[None, None, None, :]
     qpos = t_offset[:, None, None, None] + jnp.arange(t)[None, None, :, None]
     mask = spos <= qpos  # causal within each sequence's own timeline
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v)
+    out = jnp.einsum(
+        "bhts,bshd->bthd",
+        probs.astype(jnp.bfloat16),
+        v,
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(b, t, nh * dh)
 
 

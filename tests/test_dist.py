@@ -100,3 +100,36 @@ def test_make_mesh_2d():
     assert mesh.shape == {"dp": 2, "tp": 4}
     with pytest.raises(ValueError, match="devices"):
         make_mesh(4, 4)
+
+
+def test_tp_continuous_batching(model):
+    """Config-4 of the north star: continuous batching over TP-sharded
+    weights — must match the single-device batcher's greedy outputs."""
+    import functools
+
+    from tpu_lutvq.dist.tp import init_tp_caches
+    from tpu_lutvq.runtime import ContinuousBatcher, Request
+
+    cfg, weights = model
+    tp = 2
+    mesh = make_tp_mesh(tp)
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    b_tp = ContinuousBatcher(
+        cfg,
+        sharded,
+        n_slots=2,
+        prefill_fn=make_tp_prefill(cfg, mesh, strategy="dequant_mm", interpret=True),
+        step_fn=make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True),
+        cache_factory=functools.partial(
+            lambda c, n, mesh=mesh: init_tp_caches(c, n, mesh)
+        ),
+    )
+    b_1 = ContinuousBatcher(cfg, weights, n_slots=2, strategy="dequant_mm",
+                            interpret=True)
+    prompts = [[1, 2, 3], [4, 5]]
+    for i, p in enumerate(prompts):
+        b_tp.submit(Request(i, list(p), 3))
+        b_1.submit(Request(i, list(p), 3))
+    out_tp = {r.req_id: r.output for r in b_tp.run(max_steps=20)}
+    out_1 = {r.req_id: r.output for r in b_1.run(max_steps=20)}
+    assert out_tp == out_1, (out_tp, out_1)

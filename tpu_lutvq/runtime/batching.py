@@ -56,19 +56,28 @@ class ContinuousBatcher:
         strategy: str = "auto",
         interpret: bool | None = None,
         seed: int = 0,
+        prefill_fn=None,
+        step_fn=None,
+        cache_factory=None,
     ):
+        """prefill_fn/step_fn/cache_factory override the device programs —
+        pass ``make_tp_prefill(...)`` / ``make_tp_decode_step(...)`` /
+        ``init_tp_caches`` partials to serve tensor-parallel over a mesh
+        (the north star's "continuous batching + TP" configuration)."""
         self.cfg = cfg
         self.weights = weights
         self.n_slots = n_slots
         self.pending: list[Request] = []
         self.active: list[Optional[Request]] = [None] * n_slots
         self.slot_pos = np.zeros(n_slots, np.int32)  # next write position
-        self.caches = init_caches(cfg, n_slots)
+        cache_factory = cache_factory or init_caches
+        self._cache_factory = cache_factory
+        self.caches = cache_factory(cfg, n_slots)
         self.key = jax.random.PRNGKey(seed)
-        self._prefill = jax.jit(
+        self._prefill = prefill_fn or jax.jit(
             functools.partial(llama_forward, cfg, strategy=strategy, interpret=interpret)
         )
-        self._step = jax.jit(
+        self._step = step_fn or jax.jit(
             functools.partial(
                 llama_decode_step, cfg, strategy=strategy, interpret=interpret
             )
@@ -102,7 +111,7 @@ class ContinuousBatcher:
                 continue
             req = self.pending.pop(0)
             prompt = jnp.asarray([req.prompt], jnp.int32)  # (1, T0)
-            small = init_caches(self.cfg, 1)
+            small = self._cache_factory(self.cfg, 1)
             logits, small = self._prefill(
                 self.weights, prompt, small, jnp.int32(0)
             )

@@ -22,7 +22,8 @@ from tpu_lutvq.dataflow.traffic import pick_strategy
 from tpu_lutvq.kernels import dequant_matmul, lut_gemv, pack_params
 
 
-def run(model: str = "7b", batch: int = 1, proj: str = "gate_proj") -> list[dict]:
+def run(model: str = "7b", batch: int = 1, proj: str = "gate_proj",
+        check: bool = False) -> list[dict]:
     d_in, d_out = llama2_shapes(model)[proj]
     cfg = aqlm_2x8(d_in, group=8)
     params = init_vq_params(jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32,
@@ -30,6 +31,16 @@ def run(model: str = "7b", batch: int = 1, proj: str = "gate_proj") -> list[dict
     packed = pack_params(cfg, params)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, d_in), jnp.float32)
     w_dense = jax.random.normal(jax.random.PRNGKey(2), (d_out, d_in), jnp.bfloat16)
+
+    if check:  # the reference's --log_error (benchmark_rq_gemm_cpu.py:132-137)
+        import numpy as np
+
+        from tpu_lutvq.core import golden
+
+        want = np.asarray(golden.lut_gemm(cfg, params, x))
+        got = np.asarray(jax.jit(lambda x: lut_gemv(cfg, packed, x))(x))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        print(f"Relative error (lut_gemv vs golden): {rel:.3e}")
 
     results = {}
     results["dense_bf16"] = bench_time(
@@ -68,8 +79,9 @@ if __name__ == "__main__":
     ap.add_argument("--proj", default="gate_proj")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--check", action="store_true", help="print rel-error vs golden")
     args = ap.parse_args()
-    rows = run(args.model, args.batch, args.proj)
+    rows = run(args.model, args.batch, args.proj, args.check)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

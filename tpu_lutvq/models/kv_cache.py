@@ -19,8 +19,12 @@ import jax.numpy as jnp
 class KVCache(NamedTuple):
     """One layer's cache.  Shapes:
 
-    k_q / v_q:        (B, S_max, H_kv, Dh) int8
-    k_scale / v_scale:(B, S_max, H_kv) float32
+    k_q / v_q:        (B, S_max, H_kv, Dh) int8 (quantized) or bf16 (direct)
+    k_scale / v_scale:(B, S_max, H_kv) float32 (all-ones in bf16 mode)
+
+    int8 halves cache memory but the per-row dequant materializes bf16
+    copies on read (~2× the cache in extra HBM traffic per step); bf16 mode
+    trades capacity for that traffic — pick via LlamaConfig.kv_dtype.
     """
 
     k_q: jax.Array
@@ -29,12 +33,15 @@ class KVCache(NamedTuple):
     v_scale: jax.Array
 
     @classmethod
-    def init(cls, batch: int, max_seq: int, n_kv_heads: int, head_dim: int) -> "KVCache":
+    def init(
+        cls, batch: int, max_seq: int, n_kv_heads: int, head_dim: int,
+        dtype=jnp.int8,
+    ) -> "KVCache":
         return cls(
-            k_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), jnp.int8),
-            v_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), jnp.int8),
-            k_scale=jnp.zeros((batch, max_seq, n_kv_heads), jnp.float32),
-            v_scale=jnp.zeros((batch, max_seq, n_kv_heads), jnp.float32),
+            k_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
+            v_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
+            k_scale=jnp.ones((batch, max_seq, n_kv_heads), jnp.float32),
+            v_scale=jnp.ones((batch, max_seq, n_kv_heads), jnp.float32),
         )
 
     @property
@@ -67,8 +74,14 @@ def update_cache(cache: KVCache, k: jax.Array, v: jax.Array, pos: jax.Array) -> 
     ``pos`` is a scalar (same position across the batch — plain generate) or
     a ``(B,)`` vector (per-sequence positions — continuous batching).
     """
-    k_q, k_s = quantize_kv(k)
-    v_q, v_s = quantize_kv(v)
+    if cache.k_q.dtype == jnp.int8:
+        k_q, k_s = quantize_kv(k)
+        v_q, v_s = quantize_kv(v)
+    else:  # direct storage (bf16 mode): unit scales
+        k_q = k.astype(cache.k_q.dtype)
+        v_q = v.astype(cache.v_q.dtype)
+        k_s = jnp.ones(k.shape[:-1], jnp.float32)
+        v_s = jnp.ones(v.shape[:-1], jnp.float32)
     z = jnp.zeros((), jnp.int32)
     pos = jnp.asarray(pos, jnp.int32)
     if pos.ndim == 0:
@@ -107,8 +120,12 @@ def write_cache_slot(big: KVCache, small: KVCache, slot: int | jax.Array) -> KVC
 
 
 def dequantize_k(cache: KVCache) -> jax.Array:
+    if cache.k_q.dtype != jnp.int8:  # bf16 mode: read the buffer directly
+        return cache.k_q
     return cache.k_q.astype(jnp.float32) * cache.k_scale[..., None]
 
 
 def dequantize_v(cache: KVCache) -> jax.Array:
+    if cache.v_q.dtype != jnp.int8:
+        return cache.v_q
     return cache.v_q.astype(jnp.float32) * cache.v_scale[..., None]

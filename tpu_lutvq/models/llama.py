@@ -37,6 +37,7 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_seq: int = 2048
     group: int = 8  # AQLM group size (codes per d_subvec weights)
+    kv_dtype: str = "int8"  # "int8" (half memory) | "bf16" (no dequant traffic)
     head_dim_override: Optional[int] = None  # set by local_tp_config: head_dim
     # is a global property and must survive n_heads being divided per device
 
@@ -167,8 +168,9 @@ def _attention_window(
     rep = cfg.n_heads // cfg.n_kv_heads
     # dequantized cache kept in bf16 (halves the transient footprint — f32
     # materialization OOMed 7B at B=8·S=2048); scores accumulate in f32
-    k = dequantize_k(cache.slice_prefix(window)).astype(jnp.bfloat16)
-    v = dequantize_v(cache.slice_prefix(window)).astype(jnp.bfloat16)
+    pre = cache.slice_prefix(window)
+    k = dequantize_k(pre).astype(jnp.bfloat16)
+    v = dequantize_v(pre).astype(jnp.bfloat16)
     if rep > 1:
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
@@ -350,7 +352,8 @@ def llama_decode_step(
 
 
 def init_caches(cfg: LlamaConfig, batch: int) -> tuple[KVCache, ...]:
+    dtype = jnp.int8 if cfg.kv_dtype == "int8" else jnp.bfloat16
     return tuple(
-        KVCache.init(batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
+        KVCache.init(batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim, dtype)
         for _ in range(cfg.n_layers)
     )

@@ -1,54 +1,89 @@
 """Headline benchmark — prints ONE JSON line.
 
 Config 1 of BASELINE.json: fused LUT-VQ GEMV, 4096×4096 layer, 2x8 codebooks,
-batch-1 decode on one chip.  Metric: achieved HBM bandwidth (total kernel
-bytes / measured time) as % of the chip's HBM roofline — the north-star
-"fused LUT-GEMV % of HBM roofline".
+batch-1 decode on one chip.  Primary metric: achieved HBM bandwidth (total
+kernel bytes / measured time) as % of the chip's HBM roofline.  The JSON line
+also carries the stricter ``codes_only_pct`` (codes bytes / time vs HBM peak
+— the compulsory-traffic floor, the honest north star).
 
-Timing notes: on the axon-tunneled TPU, ``block_until_ready`` returns early
-and dispatch costs ~35 ms, so the kernel is repeated N times inside one
+Robustness (round-1 lesson: the driver run timed out, rc=124):
+- persistent on-disk compilation cache (``.jax_cache/``) so a fresh process
+  does not pay the 5-20 min tunnel compile again;
+- a watchdog thread emits the best measurement so far (or a zero sentinel)
+  and exits 0 if the wall-clock budget (``BENCH_BUDGET_S``, default 480 s)
+  expires;
+- a quick first measurement lands a number early; it is then refined.
+
+Timing protocol: on the axon-tunneled TPU, ``block_until_ready`` returns
+early and dispatch costs ~35 ms, so the kernel is repeated N times inside one
 dispatch with a data dependency chaining iterations (no CSE/hoisting) and
 synced by fetching a scalar; the 1-rep time is subtracted
 (see exp/probe_calib*.py for the derivation).
 """
 
 import json
+import os
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+_lock = threading.Lock()
+_result: dict = {}
+_done = threading.Event()
+
+UNIT = "% of v5e HBM roofline (4096x4096 AQLM-2x8 GEMV, B=1)"
 
 
-def _timed(f, x, n=256, repeats=3):
-    def rep_fn(k):
-        @jax.jit
-        def rep(x):
-            def body(i, carry):
-                acc, xx = carry
-                out = f(xx)
-                s = jnp.sum(out[:1, :1])
-                return (acc + s, xx + s * 1e-30)
-
-            acc, _ = jax.lax.fori_loop(0, k, body, (0.0, x))
-            return acc
-
-        return rep
-
-    repn, rep1 = rep_fn(n), rep_fn(1)
-    float(repn(x))
-    float(rep1(x))
-    best_n = best_1 = 1e9
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(repn(x))
-        best_n = min(best_n, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(rep1(x))
-        best_1 = min(best_1, time.perf_counter() - t0)
-    return (best_n - best_1) / (n - 1)
+def _emit_and_exit() -> None:
+    with _lock:
+        payload = dict(_result) or {
+            "metric": "lut_gemv_hbm_roofline_pct",
+            "value": 0.0,
+            "unit": UNIT,
+            "vs_baseline": 0.0,
+            "note": "watchdog fired before first measurement",
+        }
+    print(json.dumps(payload), flush=True)
+    os._exit(0)
 
 
-def main():
+def _watchdog() -> None:
+    remaining = BUDGET_S - (time.time() - T0)
+    if not _done.wait(timeout=max(5.0, remaining)):
+        _emit_and_exit()
+
+
+def _record(dt: float, total_bytes: int, codes_bytes: int, hbm_bps: float, note: str) -> None:
+    pct = total_bytes / dt / hbm_bps * 100.0
+    codes_pct = codes_bytes / dt / hbm_bps * 100.0
+    with _lock:
+        _result.update(
+            {
+                "metric": "lut_gemv_hbm_roofline_pct",
+                "value": round(pct, 2),
+                "unit": UNIT,
+                "vs_baseline": round(pct / 80.0, 4),
+                "codes_only_pct": round(codes_pct, 2),
+                "codes_gbps": round(codes_bytes / dt / 1e9, 1),
+                "us_per_call": round(dt * 1e6, 2),
+                "note": note,
+            }
+        )
+
+
+def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    from tpu_lutvq.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_lutvq.bench.harness import bench_time
     from tpu_lutvq.core.config import aqlm_2x8
     from tpu_lutvq.core.params import init_vq_params
     from tpu_lutvq.dataflow.chips import CHIPS
@@ -62,32 +97,32 @@ def main():
     packed = pack_params(cfg, params)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, d_in), dtype=jnp.float32)
 
-    f = lambda x: lut_gemv(cfg, packed, x)
-    dt = _timed(f, x)
-
     chip = CHIPS["v5e"]
     kp = max(cfg.n_cluster, 128)
     lut_bytes = 2 * cfg.n_groups * kp * 4  # write + read of the per-token LUT
+    codes_bytes = packed.codes_t.size  # uint8, read once — compulsory traffic
     total_bytes = (
-        packed.codes_t.size  # codes, uint8, read once
+        codes_bytes
         + cfg.codebook_bytes(4)  # f32 codebooks for LUT build
         + lut_bytes
         + x.size * 4
         + d_out * 4
     )
-    achieved = total_bytes / dt
-    pct = achieved / chip.hbm_gbps * 100.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "lut_gemv_hbm_roofline_pct",
-                "value": round(pct, 2),
-                "unit": "% of v5e HBM roofline (4096x4096 AQLM-2x8 GEMV, B=1)",
-                "vs_baseline": round(pct / 80.0, 4),
-            }
-        )
-    )
+    f = lambda x: lut_gemv(cfg, packed, x)
+
+    # Quick pass lands a number early (compile happens here; cached on disk).
+    dt = bench_time(f, x, n=64, repeats=1)
+    _record(dt, total_bytes, codes_bytes, chip.hbm_gbps, "quick n=64")
+
+    # Refined pass if budget allows (same compiled program, dynamic rep count).
+    if time.time() - T0 < BUDGET_S - 60:
+        dt2 = bench_time(f, x, n=256, repeats=2)
+        _record(min(dt, dt2), total_bytes, codes_bytes, chip.hbm_gbps, "refined n=256")
+
+    _done.set()
+    with _lock:
+        print(json.dumps(_result), flush=True)
 
 
 if __name__ == "__main__":

@@ -30,34 +30,35 @@ def bench_time(
     repeats: int = 3,
 ) -> float:
     """Seconds per call of ``f(x, *args)``; ``f``'s output must be ≥2-D or a
-    tuple whose first element is (only ``out[:1, :1]`` is reduced)."""
+    tuple whose first element is (only ``out[:1, :1]`` is reduced).
 
-    def rep_fn(k):
-        @jax.jit
-        def rep(x, *a):
-            def body(i, carry):
-                acc, xx = carry
-                out = f(xx, *a)
-                if isinstance(out, tuple):
-                    out = out[0]
-                s = jnp.sum(out[:1, :1].astype(jnp.float32))
-                return (acc + s, xx + (s * 1e-30).astype(xx.dtype))
+    The rep count is a *traced* loop bound, so one compiled program serves
+    both the N-rep and the 1-rep baseline measurement (halves compile cost —
+    material through the tunnel even with the persistent cache)."""
 
-            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
-            return acc
+    @jax.jit
+    def rep(k, x, *a):
+        def body(i, carry):
+            acc, xx = carry
+            out = f(xx, *a)
+            if isinstance(out, tuple):
+                out = out[0]
+            s = jnp.sum(out[:1, :1].astype(jnp.float32))
+            return (acc + s, xx + (s * 1e-30).astype(xx.dtype))
 
-        return rep
+        acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
+        return acc
 
-    repn, rep1 = rep_fn(n), rep_fn(1)
-    float(repn(x, *args))
-    float(rep1(x, *args))
+    kn, k1 = jnp.int32(n), jnp.int32(1)
+    float(rep(kn, x, *args))
+    float(rep(k1, x, *args))
     best_n = best_1 = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(repn(x, *args))
+        float(rep(kn, x, *args))
         best_n = min(best_n, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(rep1(x, *args))
+        float(rep(k1, x, *args))
         best_1 = min(best_1, time.perf_counter() - t0)
     return max((best_n - best_1) / (n - 1), 1e-9)
 

@@ -1,0 +1,39 @@
+"""Persistent XLA compilation cache.
+
+Model-scale programs take 5-20 min to compile through the tunneled TPU
+backend; a fresh process (e.g. the driver running ``bench.py``) would pay
+that every time.  A persistent on-disk cache makes reruns start in seconds.
+
+Call :func:`enable_persistent_cache` before the first compilation.  The cache
+lives under the repo root (``.jax_cache/``, gitignored) so it survives across
+processes and rounds on the same machine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_ENABLED = False
+
+
+def cache_dir() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.environ.get("TPU_LUTVQ_CACHE_DIR", os.path.join(here, ".jax_cache"))
+
+
+def enable_persistent_cache() -> str:
+    """Idempotently enable the on-disk compilation cache; returns its path."""
+    global _ENABLED
+    path = cache_dir()
+    if _ENABLED:
+        return path
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache everything: tiny entries and fast compiles included — through the
+    # tunnel even "fast" compiles cost seconds of round-trips.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _ENABLED = True
+    return path

@@ -62,3 +62,11 @@ def test_sweep_runs_and_writes_csv(tmp_path):
     for r in rows:
         assert r["Pred_us"] > 0
         assert 0 < r["Roofline_frac"] <= 1.0
+
+
+def test_pick_strategy_dense_candidate_allowed():
+    """quantized_only=False must include dense_bf16 in the candidate set
+    (regression: the filter previously produced an empty list → ValueError)."""
+    cfg = aqlm_2x8(4096, group=8)
+    s = pick_strategy(cfg, 4096, 1, quantized_only=False)
+    assert s in ("lut_gemv", "dequant_mm", "dense_bf16")

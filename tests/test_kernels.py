@@ -115,3 +115,34 @@ def test_quantize_lut_int8_roundtrip(rng):
     # max quantization error bounded by scale/2 per entry
     assert float(jnp.max(jnp.abs(recon - lut))) <= float(jnp.max(scale)) * 0.5 + 1e-6
     assert int(jnp.max(jnp.abs(lut_q.astype(jnp.int32)))) == 127
+
+
+def test_pack_params_rejects_wide_codes(rng):
+    """K > 256 would silently truncate in uint8 storage (regression)."""
+    cfg = VQConfig(64, 8, 1, 512, shared_codebook=True)
+    params = init_vq_params(rng, cfg, 128)
+    with pytest.raises(ValueError, match="two-level"):
+        pack_params(cfg, params)
+
+
+def test_dequant_mm_rejects_nibble_packed(rng):
+    cfg = tmac(128, bits=3, group=4)
+    params = init_vq_params(rng, cfg, 256)
+    packed = pack_params(cfg, params, nibble_pack=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 128))
+    with pytest.raises(ValueError, match="nibble"):
+        dequant_matmul(cfg, packed, x, interpret=True)
+
+
+def test_auto_strategy_on_nibbles_stays_correct(rng):
+    """strategy='auto' at batch (where dequant_mm would normally win) must
+    keep nibble-packed layers on the lookup kernel and stay correct."""
+    from tpu_lutvq.models.linear import QuantizedLinear
+
+    cfg = tmac(128, bits=3, group=4)
+    params = init_vq_params(rng, cfg, 256)
+    layer = QuantizedLinear(packed=pack_params(cfg, params, nibble_pack=True))
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 128))
+    y = layer.apply(cfg, x, strategy="auto", interpret=True)
+    ref = golden.lut_gemm(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -84,3 +84,18 @@ def test_continuous_batching_eos_frees_slot(tiny):
     done = batcher.run(max_steps=50)
     assert len(done) == 2
     assert done[0].output == [eos]
+
+
+def test_generate_early_eos_pads_to_promised_width(tiny):
+    """Early all-EOS break must still return (B, prompt+max_new) tokens
+    (regression: callers indexing by the promised width crashed)."""
+    cfg, weights = tiny
+    r0 = generate(cfg, weights, jnp.asarray([[1, 2]], jnp.int32), max_new_tokens=1, **STRAT)
+    eos = int(r0.tokens[0, -1])
+    r = generate(
+        cfg, weights, jnp.asarray([[1, 2]], jnp.int32),
+        max_new_tokens=8, eos_id=eos, **STRAT,
+    )
+    assert r.tokens.shape == (1, 2 + 8)
+    assert int(r.lengths[0]) == 3  # prompt + the eos token
+    assert np.all(np.asarray(r.tokens[0, 3:]) == eos)

@@ -176,7 +176,7 @@ def pick_strategy(
     decision metric is predicted runtime over three rooflines.
     """
     chip = chip or default_chip()
-    names = [s for s in STRATEGIES if quantized_only and s != "dense_bf16"]
+    names = [s for s in STRATEGIES if not quantized_only or s != "dense_bf16"]
     if cfg.n_cluster > 256:
         return "dense_bf16"  # 1x16: load-time dequant path
     return min(names, key=lambda s: STRATEGIES[s](cfg, d_out, batch).time_s(chip))

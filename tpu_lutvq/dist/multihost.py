@@ -10,7 +10,6 @@ Usage on each host of a pod slice::
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax
@@ -40,23 +39,39 @@ def init_multihost(
 
 
 def barrier(tag: str = "", timeout_s: float = 300.0) -> None:
-    """All-hosts barrier: a tiny psum across every device.  Raises on
-    timeout/failure instead of hanging forever (fail-fast)."""
-    start = time.time()
-    try:
+    """All-hosts barrier: a tiny psum across every device.
+
+    The collective + result fetch run in a worker thread watched with a real
+    deadline, so a dead host raises ``RuntimeError`` after ``timeout_s``
+    instead of blocking this host forever (fail-fast).  The worker thread
+    itself may stay blocked inside the runtime — acceptable, since barrier
+    failure is treated as fatal for the process.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FutTimeout
+
+    def _do() -> float:
         x = jnp.ones((len(jax.local_devices()),))
         total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
-        val = float(np.asarray(total)[0])
+        return float(np.asarray(total)[0])
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        val = ex.submit(_do).result(timeout=timeout_s)
+    except FutTimeout:
+        raise RuntimeError(
+            f"barrier {tag!r} exceeded {timeout_s}s (a host is unreachable)"
+        ) from None
     except Exception as e:  # pragma: no cover
         raise RuntimeError(f"barrier {tag!r} failed: {e}") from e
+    finally:
+        ex.shutdown(wait=False)
     expect = float(len(jax.devices()))
     if val != expect:
         raise RuntimeError(
             f"barrier {tag!r}: psum {val} != device count {expect} "
             "(a host is missing or degraded)"
         )
-    if time.time() - start > timeout_s:
-        raise RuntimeError(f"barrier {tag!r} exceeded {timeout_s}s")
 
 
 def assert_same_across_hosts(value: int, tag: str = "") -> None:

@@ -237,6 +237,11 @@ def dequant_matmul(
     interpret = resolve_interpret(interpret)
     if cfg.n_cluster > 2 * LANE:
         raise ValueError("dequant_matmul supports K ≤ 256 (use load-time dequant for 1x16)")
+    if packed.nibbles:
+        raise ValueError(
+            "dequant_matmul cannot read nibble-packed codes (T-MAC packing is a "
+            "lookup-kernel layout); pack with nibble_pack=False for this path"
+        )
     if cfg.d_subvec % 2:
         tables = "f32"
     b_all = x.shape[0]

@@ -132,6 +132,13 @@ def pack_params(
     d_out = params.codes.shape[0]
     if d_out % shards:
         raise ValueError(f"d_out={d_out} must divide by shards={shards}")
+    if cfg.n_cluster > 256:
+        # uint8 storage would silently truncate wider codes (e.g. aqlm_1x16);
+        # such schemes go through the two-level kernel's own packing instead.
+        raise ValueError(
+            f"pack_params stores uint8 codes; K={cfg.n_cluster} > 256 needs the "
+            "two-level 1x16 path (kernels.lut_gemv_2level) or load-time dequant"
+        )
     g_pad = _round_up(cfg.n_groups, 8)
     # (d_out, M, N) -> n-major (N, M, d_out) -> (G, d_out)
     codes_t = jnp.transpose(params.codes, (2, 1, 0)).reshape(

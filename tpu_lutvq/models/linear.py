@@ -67,6 +67,9 @@ class QuantizedLinear(NamedTuple):
         batch = xb.shape[0]
         if strategy == "auto":
             strategy = pick_strategy(cfg, self.packed.d_out, batch)
+            if self.packed.nibbles:
+                # only the lookup kernel understands the nibble-packed layout
+                strategy = "lut_gemv"
         if strategy == "lut_gemv":
             y = lut_gemv(cfg, self.packed, xb, interpret=interpret)
         elif strategy == "dequant_mm":
@@ -74,6 +77,11 @@ class QuantizedLinear(NamedTuple):
         elif strategy == "dense_bf16":
             from tpu_lutvq.core.golden import dequantize  # lazy; load-time path
 
+            if self.packed.nibbles:
+                raise ValueError(
+                    "dense_bf16 reconstruction cannot read nibble-packed codes; "
+                    "use strategy='lut_gemv' (or pack with nibble_pack=False)"
+                )
             codes = jnp.transpose(
                 self.packed.codes_t[: cfg.n_groups, : self.packed.d_out]
             ).reshape(self.packed.d_out, cfg.n_codebook, cfg.n_subvec).transpose(0, 2, 1)

@@ -93,5 +93,10 @@ def generate(
             next_tok = jnp.where(done, eos_id, next_tok)
         lengths = lengths + (~done).astype(jnp.int32)
         out.append(next_tok)
+    if len(out) < max_new_tokens:
+        # early all-EOS break: pad to the promised (B, t0 + max_new) width
+        # (``lengths`` already marks the valid prefix per row)
+        pad_tok = out[-1] if eos_id is None else jnp.full_like(out[-1], eos_id)
+        out.extend([pad_tok] * (max_new_tokens - len(out)))
     tokens = jnp.concatenate([prompt, jnp.stack(out, axis=1)], axis=1)
     return GenerationResult(tokens=tokens, lengths=lengths)

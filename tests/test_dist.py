@@ -34,12 +34,13 @@ def model():
     return cfg, weights
 
 
+@pytest.mark.parametrize("strategy", ["dequant_mm", "lut_gemv"])
 @pytest.mark.parametrize("tp", [2, 4])
-def test_tp_decode_matches_single_device(model, tp):
+def test_tp_decode_matches_single_device(model, tp, strategy):
     cfg, weights = model
     mesh = make_tp_mesh(tp)
     sharded = shard_llama_tp(cfg, weights, mesh)
-    step = make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True)
+    step = make_tp_decode_step(cfg, mesh, strategy=strategy, interpret=True)
 
     batch = 2
     tokens = jnp.asarray([5, 9], jnp.int32)
@@ -49,7 +50,7 @@ def test_tp_decode_matches_single_device(model, tp):
 
     caches_1 = init_caches(cfg, batch)
     logits_1, caches_1 = llama_decode_step(
-        cfg, weights, tokens, caches_1, pos, strategy="dequant_mm", interpret=True
+        cfg, weights, tokens, caches_1, pos, strategy=strategy, interpret=True
     )
     # psum reduction order differs from single-device summation; through the
     # int8 KV quantizer a boundary value can flip one count → few-element 1e-3

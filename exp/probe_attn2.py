@@ -1,0 +1,79 @@
+"""Decode-attention strategy shootout at 7B B=8 geometry.
+
+A. round-1 XLA path (materializing dequant)        — baseline
+B. scale-folded XLA (convert-only k/v operands: scales applied post-dot,
+   letting XLA fuse the int8→bf16 convert into the matmul read)
+C. B + window slicing (bucketing via XLA slice — does the slice fuse?)
+D. Pallas flash, block_s sweep
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.bench.harness import bench_time
+from tpu_lutvq.kernels.flash_decode import flash_decode_attention
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+from tpu_lutvq.models.llama import LlamaConfig, _attention_window
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+HKV, DH = 32, 128
+W = int(sys.argv[3]) if len(sys.argv) > 3 else S
+
+cfg = LlamaConfig(n_heads=HKV, n_kv_heads=HKV, hidden=HKV * DH, max_seq=S)
+rng = jax.random.PRNGKey(0)
+cache = KVCache.init(B, S, HKV, DH)
+k = jax.random.normal(rng, (B, S, HKV, DH), dtype=jnp.float32)
+v = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, HKV, DH))
+cache = update_cache(cache, k, v, jnp.zeros((B,), jnp.int32))
+q = jax.random.normal(jax.random.fold_in(rng, 2), (B, 1, HKV, DH))
+pos = jnp.full((B,), W - 2, jnp.int32)
+sm = 1.0 / DH**0.5
+
+
+def folded(q, c, w):
+    kq = c.k_q[:, :, :w]
+    vq = c.v_q[:, :, :w]
+    ks = c.k_scale[:, :, :w]
+    vs = c.v_scale[:, :, :w]
+    qh = q[:, 0].astype(jnp.bfloat16)  # (B, H, Dh)
+    scores = jnp.einsum(
+        "bhd,bhsd->bhs", qh, kq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * (ks * sm)
+    span = jnp.arange(w)[None, None, :]
+    scores = jnp.where(span <= pos[:, None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1) * vs
+    out = jnp.einsum(
+        "bhs,bhsd->bhd", p.astype(jnp.bfloat16), vq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
+xla_a = jax.jit(lambda q, c: _attention_window(cfg, q, c, pos, S))
+xla_b = jax.jit(lambda q, c: folded(q, c, S))
+xla_c = jax.jit(lambda q, c: folded(q, c, W))
+
+kv_bytes = lambda w: 2 * B * w * HKV * (DH + 4)
+t = bench_time(xla_a, q, cache, n=64)
+print(f"A xla-materialize S={S}: {t*1e6:.0f}us", flush=True)
+t = bench_time(xla_b, q, cache, n=64)
+print(f"B xla-folded S={S}: {t*1e6:.0f}us ({kv_bytes(S)/t/1e9:.0f} GB/s int8)", flush=True)
+t = bench_time(xla_c, q, cache, n=64)
+print(f"C xla-folded W={W}: {t*1e6:.0f}us ({kv_bytes(W)/t/1e9:.0f} GB/s int8)", flush=True)
+
+for bs in (256, 512, 1024):
+    fl = jax.jit(
+        lambda q, c, bs=bs: flash_decode_attention(
+            q[:, 0], c.k_q, c.v_q, c.k_scale, c.v_scale, pos,
+            window=W, block_s=bs,
+        )
+    )
+    t = bench_time(fl, q, cache, n=64)
+    print(
+        f"D flash W={W} bs={bs}: {t*1e6:.0f}us ({kv_bytes(W)/t/1e9:.0f} GB/s int8)",
+        flush=True,
+    )

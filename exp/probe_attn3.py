@@ -1,0 +1,39 @@
+"""Bucketed decode attention: flash(grid) vs xla-folded(slice) at small windows."""
+import sys
+import jax, jax.numpy as jnp
+from tpu_lutvq.bench.harness import bench_time
+from tpu_lutvq.kernels.flash_decode import flash_decode_attention
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+
+B, S, HKV, DH = 8, 2048, 32, 128
+rng = jax.random.PRNGKey(0)
+cache = KVCache.init(B, S, HKV, DH)
+k = jax.random.normal(rng, (B, S, HKV, DH), dtype=jnp.float32)
+v = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, HKV, DH))
+cache = update_cache(cache, k, v, jnp.zeros((B,), jnp.int32))
+q = jax.random.normal(jax.random.fold_in(rng, 2), (B, 1, HKV, DH))
+sm = 1.0 / DH**0.5
+
+def folded(q, c, w, pos):
+    kq = c.k_q[:, :, :w]; vq = c.v_q[:, :, :w]
+    ks = c.k_scale[:, :, :w]; vs = c.v_scale[:, :, :w]
+    qh = q[:, 0].astype(jnp.bfloat16)
+    scores = jnp.einsum("bhd,bhsd->bhs", qh, kq.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) * (ks * sm)
+    span = jnp.arange(w)[None, None, :]
+    scores = jnp.where(span <= pos[:, None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1) * vs
+    return jnp.einsum("bhs,bhsd->bhd", p.astype(jnp.bfloat16),
+                      vq.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+kvb = lambda w: 2 * B * w * HKV * (DH + 4)
+for w in (256, 512, 1024):
+    pos = jnp.full((B,), w - 2, jnp.int32)
+    bs = min(1024, w)
+    fl = jax.jit(lambda q, c, w=w, bs=bs, pos=pos: flash_decode_attention(
+        q[:, 0], c.k_q, c.v_q, c.k_scale, c.v_scale, pos, window=w, block_s=bs))
+    xl = jax.jit(lambda q, c, w=w, pos=pos: folded(q, c, w, pos))
+    tf = bench_time(fl, q, cache, n=64)
+    tx = bench_time(xl, q, cache, n=64)
+    print(f"W={w}: flash {tf*1e6:.0f}us ({kvb(w)/tf/1e9:.0f} GB/s)  "
+          f"xla-folded-slice {tx*1e6:.0f}us ({kvb(w)/tx/1e9:.0f} GB/s)", flush=True)

@@ -1,0 +1,59 @@
+"""TPU smoke + timing for the flash-decode kernel.
+
+Usage: python exp/probe_flash.py [B] [S] [window]
+Times the kernel at 7B geometry (32 kv heads, Dh=128) against the XLA
+attention path, with the tunnel-proof chained-rep protocol.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.bench.harness import bench_time
+from tpu_lutvq.kernels.flash_decode import flash_decode_attention
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+from tpu_lutvq.models.llama import LlamaConfig, _attention_window
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+W = int(sys.argv[3]) if len(sys.argv) > 3 else S
+HKV, DH = 32, 128
+
+cfg = LlamaConfig(n_heads=HKV, n_kv_heads=HKV, hidden=HKV * DH, max_seq=S)
+rng = jax.random.PRNGKey(0)
+cache = KVCache.init(B, S, HKV, DH)
+k = jax.random.normal(rng, (B, S, HKV, DH), dtype=jnp.float32)
+v = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, HKV, DH))
+cache = update_cache(cache, k, v, jnp.zeros((B,), jnp.int32))
+q = jax.random.normal(jax.random.fold_in(rng, 2), (B, 1, HKV, DH))
+pos = jnp.full((B,), W - 2, jnp.int32)
+
+# cache must ride as an argument — closure constants this big crash the
+# remote compiler (memory: axon-tpu-platform-quirks)
+flash = jax.jit(
+    lambda q, c: flash_decode_attention(
+        q[:, 0], c.k_q, c.v_q, c.k_scale, c.v_scale, pos, window=W
+    )
+)
+xla = jax.jit(lambda q, c: _attention_window(cfg, q, c, pos, S))
+
+t0 = time.time()
+out = flash(q, cache)
+got = jax.device_get(out)
+print(f"flash compile+run {time.time()-t0:.1f}s out {got.shape}", flush=True)
+want = jax.device_get(xla(q, cache)).reshape(B, HKV, DH)
+import numpy as np
+
+err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+print(f"max rel err vs xla: {err:.4f}", flush=True)
+
+t_flash = bench_time(flash, q, cache, n=64)
+t_xla = bench_time(xla, q, cache, n=64)
+kv_bytes = 2 * B * W * HKV * (DH * cache.k_q.dtype.itemsize + 4)
+print(
+    f"B={B} S={S} W={W}: flash {t_flash*1e6:.1f}us ({kv_bytes/t_flash/1e9:.0f} GB/s)"
+    f"  xla(full S) {t_xla*1e6:.1f}us  speedup {t_xla/t_flash:.2f}x",
+    flush=True,
+)

@@ -1,0 +1,45 @@
+"""Probe: per-lane variable shift in Mosaic (needed for one-gather K=256
+LUT lookup: word >> ((idx>>3)&16) selects the bf16 half in-place).
+
+Also probes the i32 select on gathered pair-words (batch-pair variant).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def k_varshift(x_ref, s_ref, o_ref):
+    o_ref[...] = jax.lax.shift_right_logical(x_ref[...], s_ref[...])
+
+
+def k_varshift_u32(x_ref, s_ref, o_ref):
+    x = pltpu.bitcast(x_ref[...], jnp.uint32)
+    s = pltpu.bitcast(s_ref[...], jnp.uint32)
+    o_ref[...] = pltpu.bitcast(jax.lax.shift_right_logical(x, s), jnp.int32)
+
+
+def run(kern, name):
+    x = jax.random.randint(jax.random.PRNGKey(0), (8, 128), 0, 2**31 - 1, jnp.int32)
+    s = jax.random.randint(jax.random.PRNGKey(1), (8, 128), 0, 2, jnp.int32) * 16
+    try:
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        )(x, s)
+        want = np.right_shift(np.asarray(x).astype(np.uint32), np.asarray(s)).astype(
+            np.int32
+        )
+        ok = np.array_equal(np.asarray(jax.device_get(out)), want)
+        print(f"{name}: compiled, correct={ok}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{name}: FAILED — {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    run(k_varshift, "varshift_i32 (logical shr, vector shamt)")
+    run(k_varshift_u32, "varshift_u32 (bitcast + logical shr)")

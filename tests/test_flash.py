@@ -1,0 +1,113 @@
+"""Differential tests for the flash-decode attention kernel.
+
+Oracle: the XLA einsum attention path (models/llama._attention_window),
+itself tested against prefill/decode consistency.  The kernel runs in
+interpret mode on CPU (conftest pins jax to cpu)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.kernels.flash_decode import flash_decode_attention
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+from tpu_lutvq.models.llama import LlamaConfig, _attention_window
+
+
+def _mk_cache(rng, b, hkv, s_max, dh, n_tok, dtype=jnp.int8):
+    cache = KVCache.init(b, s_max, hkv, dh, dtype)
+    k = jax.random.normal(rng, (b, n_tok, hkv, dh))
+    v = jax.random.normal(jax.random.fold_in(rng, 1), (b, n_tok, hkv, dh))
+    return update_cache(cache, k, v, jnp.zeros((b,), jnp.int32))
+
+
+@pytest.mark.parametrize("rep", [1, 2])
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+def test_flash_matches_xla(rep, dtype):
+    b, hkv, s_max, dh = 2, 2, 512, 64
+    h = hkv * rep
+    cache = _mk_cache(jax.random.PRNGKey(0), b, hkv, s_max, dh, 9, dtype)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, h, dh))
+    pos = jnp.asarray([8, 8], jnp.int32)
+    cfg = LlamaConfig.tiny(
+        n_heads=h, n_kv_heads=hkv, hidden=h * dh, max_seq=s_max
+    )
+    want = _attention_window(cfg, q, cache, pos, s_max).reshape(b, h, dh)
+    got = flash_decode_attention(
+        q[:, 0], cache.k_q, cache.v_q, cache.k_scale, cache.v_scale, pos,
+        window=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_per_sequence_positions():
+    """Continuous-batching shape: every sequence has its own pos; masked
+    positions must not contribute (cache rows beyond pos are poisoned)."""
+    b, hkv, s_max, dh = 3, 2, 256, 64
+    cache = _mk_cache(jax.random.PRNGKey(1), b, hkv, s_max, dh, 40)
+    # poison rows past each pos to catch mask errors
+    poison = jnp.full_like(cache.k_q, 127)
+    pos = jnp.asarray([3, 17, 39], jnp.int32)
+    mask = jnp.arange(s_max)[None, None, :, None] > pos[:, None, None, None]
+    cache = cache._replace(
+        k_q=jnp.where(mask, poison, cache.k_q),
+        v_q=jnp.where(mask, poison, cache.v_q),
+    )
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, 1, hkv, dh))
+    cfg = LlamaConfig.tiny(
+        n_heads=hkv, n_kv_heads=hkv, hidden=hkv * dh, max_seq=s_max
+    )
+    want = _attention_window(cfg, q, cache, pos, s_max).reshape(b, hkv, dh)
+    got = flash_decode_attention(
+        q[:, 0], cache.k_q, cache.v_q, cache.k_scale, cache.v_scale, pos,
+        window=s_max, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_window_invariance():
+    """Any bucket window covering pos+1 gives the same answer."""
+    b, hkv, s_max, dh = 1, 2, 1024, 128
+    cache = _mk_cache(jax.random.PRNGKey(4), b, hkv, s_max, dh, 12)
+    q = jax.random.normal(jax.random.PRNGKey(5), (b, 1, hkv, dh))
+    pos = jnp.asarray([11], jnp.int32)
+    outs = [
+        flash_decode_attention(
+            q[:, 0], cache.k_q, cache.v_q, cache.k_scale, cache.v_scale, pos,
+            window=w, interpret=True,
+        )
+        for w in (256, 512, 1024)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(o), np.asarray(outs[0]), rtol=1e-6, atol=1e-6)
+
+
+def test_flash_in_llama_decode():
+    """Full model: flash decode logits == xla decode logits.
+
+    bf16 KV mode so both paths see bit-identical cache values (the int8
+    path differs legitimately: flash applies k-scales post-dot in f32, the
+    XLA oracle rounds scaled keys to bf16 pre-dot — covered at kernel level
+    by test_flash_matches_xla[int8] instead)."""
+    from tpu_lutvq.models.llama import init_caches, init_llama, llama_forward
+
+    cfg = LlamaConfig.tiny(kv_dtype="bf16")
+    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, cfg.vocab_size)
+    caches = init_caches(cfg, 2)
+    _, caches = llama_forward(
+        cfg, weights, tokens[:, :5], caches, jnp.int32(0),
+        strategy="lut_gemv", interpret=True, attn="xla",
+    )
+    args = (cfg, weights, tokens[:, 5:6])
+    l_flash, _ = llama_forward(
+        *args, caches, jnp.int32(5), strategy="lut_gemv", interpret=True,
+        attn="flash",
+    )
+    l_xla, _ = llama_forward(
+        *args, caches, jnp.int32(5), strategy="lut_gemv", interpret=True,
+        attn="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_flash), np.asarray(l_xla), rtol=2e-2, atol=2e-2
+    )

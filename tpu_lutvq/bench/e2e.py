@@ -100,18 +100,22 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
     print(f"init: {time.perf_counter() - t0:.1f}s")
     tokens = jnp.zeros((batch,), jnp.int32)
 
-    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
-    def decode_n(weights, tokens, caches, pos0, n_steps):
+    @functools.partial(
+        jax.jit, static_argnames=("n_steps", "window"), donate_argnums=(2,)
+    )
+    def decode_n(weights, tokens, caches, pos0, n_steps, window=None):
         """n_steps greedy decode steps in ONE dispatch (host round-trips
         through the tunnel cost ~ms and would swamp per-step time).  Weights
         are an argument, NOT a closure — closed-over arrays embed as HLO
-        literals and a 1B-scale constant blob kills the remote compiler."""
+        literals and a 1B-scale constant blob kills the remote compiler.
+        ``window`` is the static attention bucket for the whole segment
+        (callers pick segments so the bucket covers every step)."""
 
         def body(carry, i):
             tokens, caches = carry
             logits, caches = llama_decode_step(
                 cfg, weights, tokens, caches, pos0 + i, strategy=strategy,
-                interpret=interpret,
+                interpret=interpret, window=window,
             )
             return (jnp.argmax(logits, axis=-1).astype(jnp.int32), caches), None
 
@@ -120,14 +124,19 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         )
         return tokens, caches
 
+    from tpu_lutvq.runtime.generate import bucket_window
+
+    win = bucket_window(2 * steps + 1, cfg.max_seq)
     # warmup + sync (scalar fetch — block_until_ready unreliable via tunnel)
     tokens, caches = decode_n(
-        weights, tokens, caches, jnp.zeros((batch,), jnp.int32), n_steps=steps
+        weights, tokens, caches, jnp.zeros((batch,), jnp.int32), n_steps=steps,
+        window=win,
     )
     int(tokens[0])
     t0 = time.perf_counter()
     tokens, caches = decode_n(
-        weights, tokens, caches, jnp.full((batch,), steps, jnp.int32), n_steps=steps
+        weights, tokens, caches, jnp.full((batch,), steps, jnp.int32),
+        n_steps=steps, window=win,
     )
     int(tokens[0])
     dt = (time.perf_counter() - t0) / steps

@@ -181,11 +181,11 @@ def tp_weight_specs(cfg: LlamaConfig, weights: LlamaWeights, axis: str = "tp") -
 
 
 def cache_specs(n_layers: int, axis: str = "tp") -> tuple[KVCache, ...]:
-    one = KVCache(
-        k_q=P(None, None, axis, None),
-        v_q=P(None, None, axis, None),
-        k_scale=P(None, None, axis),
-        v_scale=P(None, None, axis),
+    one = KVCache(  # heads (axis 1 of (B, H_kv, S, Dh)) are TP-sharded
+        k_q=P(None, axis, None, None),
+        v_q=P(None, axis, None, None),
+        k_scale=P(None, axis, None),
+        v_scale=P(None, axis, None),
     )
     return tuple(one for _ in range(n_layers))
 

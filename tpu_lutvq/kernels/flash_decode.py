@@ -1,0 +1,180 @@
+"""Flash-decode attention over the INT8 KV cache.
+
+Round-1 decode read the whole static ``max_seq`` cache every step through an
+XLA einsum, materializing a dequantized bf16 copy of the int8 cache in HBM
+(~2× the cache in extra traffic) — measured as the dominant cost of batched
+7B decode.  This kernel removes both problems:
+
+- int8 K/V blocks are dequantized **in VMEM**: the int8 bytes are the only
+  HBM traffic, and the per-row scales fold into the small score/prob
+  matrices (one multiply on ``(rep, BS)`` instead of on ``(BS, Dh)``).
+- **Length bucketing rides the kernel grid**: the caller passes the full
+  cache but sizes the sequence grid to a bucket ``window``; K/V blocks past
+  the bucket are never DMA'd.  No cache slicing (which would copy), and each
+  bucket is one jit specialization — the ``lax.switch``-inside-scan variant
+  that this replaces measured 80 % slower (BENCH_NOTES.md round 1).
+
+Online-softmax accumulation state lives in VMEM scratch carried across the
+innermost (sequence) grid dimension — the standard flash-decode recurrence.
+One grid program handles one (batch, kv-head) pair and its ``rep`` grouped
+query heads (GQA), so the cache layout is head-major ``(B, H_kv, S, Dh)``.
+
+Mosaic block-shape rules (last two block dims divisible by (8, 128) or equal
+to the array dims) shape the operand layouts: queries ride as
+``(B, H_kv, rep, Dh)``, and the small scale planes are passed window-sliced
+as ``(B, H_kv, W)`` full-plane blocks, dynamically sliced in-kernel.
+
+Reference analog: the reference has no attention at all (batch-1 GEMV
+benchmarks only); this serves the INT8 KV-cache capability mandated by
+SURVEY.md §5 / BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_lutvq.kernels.lut_ctor import LANE, resolve_interpret
+
+DEFAULT_BLOCK_S = 256
+NEG_INF = -1e30
+
+
+def _kernel(
+    pos_ref,  # (B,) i32 scalar-prefetch: query position per sequence
+    q_ref,    # (1, 1, rep, Dh)
+    k_ref,    # (1, 1, BS, Dh) int8|bf16
+    v_ref,    # (1, 1, BS, Dh)
+    ks_ref,   # (1, Hkv, W) f32 — whole per-batch scale plane
+    vs_ref,   # (1, Hkv, W) f32
+    o_ref,    # (1, 1, rep, Dh) f32
+    m_ref,    # (rep, LANE) f32 scratch — running max (replicated columns)
+    l_ref,    # (rep, LANE) f32 scratch — running denominator
+    acc_ref,  # (rep, Dh) f32 scratch — running numerator
+    *,
+    block_s: int,
+    sm_scale: float,
+    quantized: bool,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    s = pl.program_id(2)
+    last = pl.num_programs(2) - 1
+    pos_b = pos_ref[b]
+    start = s * block_s
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(start <= pos_b)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.bfloat16)  # (rep, Dh)
+        k = k_ref[0, 0].astype(jnp.bfloat16)  # (BS, Dh) — int8→bf16 in VMEM
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (rep, BS)
+        scores = scores * sm_scale
+        if quantized:  # fold k row-scales into the small score matrix
+            ks = ks_ref[0, pl.ds(h, 1), pl.ds(start, block_s)]  # (1, BS)
+            scores = scores * ks
+        span = start + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(span <= pos_b, scores, NEG_INF)
+
+        m_prev = m_ref[...]  # (rep, LANE) replicated
+        s_max = jnp.max(scores, axis=1, keepdims=True)  # (rep, 1)
+        m_new = jnp.maximum(m_prev, s_max)
+        alpha = jnp.exp(m_prev - m_new)  # (rep, LANE) replicated
+        p = jnp.exp(scores - m_new[:, :1])  # (rep, BS)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_new
+        if quantized:  # fold v row-scales into the prob matrix
+            vs = vs_ref[0, pl.ds(h, 1), pl.ds(start, block_s)]  # (1, BS)
+            p = p * vs
+        v = v_ref[0, 0].astype(jnp.bfloat16)  # (BS, Dh)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rep, Dh)
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(s == last)
+    def _finalize():
+        o_ref[0, 0] = acc_ref[...] / l_ref[:, :1]
+
+
+def flash_decode_attention(
+    q: jax.Array,        # (B, H, Dh) — single-token queries, post-RoPE
+    k_q: jax.Array,      # (B, H_kv, S, Dh) int8 or bf16
+    v_q: jax.Array,      # (B, H_kv, S, Dh)
+    k_scale: jax.Array,  # (B, H_kv, S) f32
+    v_scale: jax.Array,  # (B, H_kv, S) f32
+    pos: jax.Array,      # (B,) i32 — attend to positions s <= pos[b]
+    *,
+    window: int,         # static read bucket; must cover max(pos)+1
+    block_s: int = DEFAULT_BLOCK_S,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-step attention output ``(B, H, Dh)`` float32.
+
+    ``window`` bounds the sequence prefix actually streamed from HBM; pick
+    it per decode segment (see runtime.generate bucketing).  It is rounded
+    up to a multiple of ``block_s`` and clamped to the cache length.
+    """
+    interpret = resolve_interpret(interpret)
+    b, h, dh = q.shape
+    hkv, s_max = k_q.shape[1], k_q.shape[2]
+    rep = h // hkv
+    assert h == hkv * rep
+    block_s = min(block_s, s_max)
+    window = min(-(-window // block_s) * block_s, s_max)
+    quantized = k_q.dtype == jnp.int8
+    sm_scale = 1.0 / (dh ** 0.5)
+
+    if dh < LANE:  # lane-pad head_dim; zero columns are inert in both dots
+        padq = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, LANE - dh)))
+        padkv = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, LANE - dh)))
+        q, k_q, v_q = padq(q), padkv(k_q), padkv(v_q)
+    dhp = q.shape[-1]
+    q4 = q.reshape(b, hkv, rep, dhp)
+    # scale planes window-sliced outside (a tiny copy: 4 B/row vs 2·Dh cache
+    # bytes/row) so the block can be the full (Hkv, W) plane per batch entry
+    ks = k_scale[:, :, :window]
+    vs = v_scale[:, :, :window]
+
+    kern = functools.partial(
+        _kernel, block_s=block_s, sm_scale=sm_scale, quantized=quantized
+    )
+    grid = (b, hkv, window // block_s)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                # index maps take (*grid, *scalar_prefetch_refs)
+                pl.BlockSpec((1, 1, rep, dhp), lambda b, h, s, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_s, dhp), lambda b, h, s, *_: (b, h, s, 0)),
+                pl.BlockSpec((1, 1, block_s, dhp), lambda b, h, s, *_: (b, h, s, 0)),
+                pl.BlockSpec((1, hkv, window), lambda b, h, s, *_: (b, 0, 0)),
+                pl.BlockSpec((1, hkv, window), lambda b, h, s, *_: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rep, dhp), lambda b, h, s, *_: (b, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rep, LANE), jnp.float32),
+                pltpu.VMEM((rep, LANE), jnp.float32),
+                pltpu.VMEM((rep, dhp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, dhp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32), q4, k_q, v_q, ks, vs)
+    return out.reshape(b, h, dhp)[..., :dh]

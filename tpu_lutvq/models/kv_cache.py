@@ -5,7 +5,14 @@ an INT8 paged KV cache is mandated by the north-star config
 (BASELINE.json: "INT8 KV-cache").  Design: per (token, head) symmetric int8
 quantization — the same dynamic range-quantization idea as the reference's
 LUT quantizer (lut_ctor.cc:232-260) applied to K/V rows.  Static max-length
-ring buffer per layer; updates via dynamic_update_slice (jit-friendly).
+buffer per layer; updates via dynamic_update_slice (jit-friendly).
+
+Layout is ``(B, H_kv, S, Dh)`` — head-major so the flash-decode kernel
+(kernels/flash_decode.py) streams one head's contiguous ``(S, Dh)`` history
+per grid program, and length bucketing falls out of the kernel grid (blocks
+past the bucket are never DMA'd).  New-token tensors arrive from the model
+as ``(B, T, H, Dh)`` (projection-natural) and are transposed on insert —
+the transpose touches only the T new tokens, not the cache.
 """
 
 from __future__ import annotations
@@ -19,12 +26,13 @@ import jax.numpy as jnp
 class KVCache(NamedTuple):
     """One layer's cache.  Shapes:
 
-    k_q / v_q:        (B, S_max, H_kv, Dh) int8 (quantized) or bf16 (direct)
-    k_scale / v_scale:(B, S_max, H_kv) float32 (all-ones in bf16 mode)
+    k_q / v_q:        (B, H_kv, S_max, Dh) int8 (quantized) or bf16 (direct)
+    k_scale / v_scale:(B, H_kv, S_max) float32 (all-ones in bf16 mode)
 
-    int8 halves cache memory but the per-row dequant materializes bf16
-    copies on read (~2× the cache in extra HBM traffic per step); bf16 mode
-    trades capacity for that traffic — pick via LlamaConfig.kv_dtype.
+    int8 halves cache memory; the flash-decode kernel dequantizes in-VMEM so
+    the int8 mode no longer pays a bf16 materialization in HBM.  The XLA
+    fallback path (prefill, T>1) still materializes — pick via
+    LlamaConfig.kv_dtype if that matters for a workload.
     """
 
     k_q: jax.Array
@@ -38,30 +46,30 @@ class KVCache(NamedTuple):
         dtype=jnp.int8,
     ) -> "KVCache":
         return cls(
-            k_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
-            v_q=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
-            k_scale=jnp.ones((batch, max_seq, n_kv_heads), jnp.float32),
-            v_scale=jnp.ones((batch, max_seq, n_kv_heads), jnp.float32),
+            k_q=jnp.zeros((batch, n_kv_heads, max_seq, head_dim), dtype),
+            v_q=jnp.zeros((batch, n_kv_heads, max_seq, head_dim), dtype),
+            k_scale=jnp.ones((batch, n_kv_heads, max_seq), jnp.float32),
+            v_scale=jnp.ones((batch, n_kv_heads, max_seq), jnp.float32),
         )
 
     @property
     def max_seq(self) -> int:
-        return self.k_q.shape[1]
+        return self.k_q.shape[2]
 
     def slice_prefix(self, window: int) -> "KVCache":
         """Static-size prefix view [0, window) of the sequence axis."""
         if window == self.max_seq:
             return self
         return KVCache(
-            k_q=self.k_q[:, :window],
-            v_q=self.v_q[:, :window],
-            k_scale=self.k_scale[:, :window],
-            v_scale=self.v_scale[:, :window],
+            k_q=self.k_q[:, :, :window],
+            v_q=self.v_q[:, :, :window],
+            k_scale=self.k_scale[:, :, :window],
+            v_scale=self.v_scale[:, :, :window],
         )
 
 
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(B, T, H, Dh) → int8 values + (B, T, H) scales (symmetric, per row)."""
+    """(..., Dh) → int8 values + (...) scales (symmetric, per row)."""
     absmax = jnp.max(jnp.abs(x), axis=-1)
     scale = jnp.maximum(absmax, 1e-10) / 127.0
     q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
@@ -71,9 +79,12 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 def update_cache(cache: KVCache, k: jax.Array, v: jax.Array, pos: jax.Array) -> KVCache:
     """Insert T new tokens at position ``pos``.
 
-    ``pos`` is a scalar (same position across the batch — plain generate) or
-    a ``(B,)`` vector (per-sequence positions — continuous batching).
+    ``k``/``v`` are (B, T, H, Dh) projection outputs; ``pos`` is a scalar
+    (same position across the batch — plain generate) or a ``(B,)`` vector
+    (per-sequence positions — continuous batching).
     """
+    k = jnp.transpose(k, (0, 2, 1, 3))  # (B, H, T, Dh)
+    v = jnp.transpose(v, (0, 2, 1, 3))
     if cache.k_q.dtype == jnp.int8:
         k_q, k_s = quantize_kv(k)
         v_q, v_s = quantize_kv(v)
@@ -86,13 +97,13 @@ def update_cache(cache: KVCache, k: jax.Array, v: jax.Array, pos: jax.Array) -> 
     pos = jnp.asarray(pos, jnp.int32)
     if pos.ndim == 0:
         return KVCache(
-            k_q=jax.lax.dynamic_update_slice(cache.k_q, k_q, (z, pos, z, z)),
-            v_q=jax.lax.dynamic_update_slice(cache.v_q, v_q, (z, pos, z, z)),
-            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, k_s, (z, pos, z)),
-            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, v_s, (z, pos, z)),
+            k_q=jax.lax.dynamic_update_slice(cache.k_q, k_q, (z, z, pos, z)),
+            v_q=jax.lax.dynamic_update_slice(cache.v_q, v_q, (z, z, pos, z)),
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, k_s, (z, z, pos)),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, v_s, (z, z, pos)),
         )
-    upd4 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, z, z)))
-    upd3 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, z)))
+    upd4 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (z, p, z)))
+    upd3 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (z, p)))
     return KVCache(
         k_q=upd4(cache.k_q, k_q, pos),
         v_q=upd4(cache.v_q, v_q, pos),
@@ -106,10 +117,10 @@ def write_cache_slot(big: KVCache, small: KVCache, slot: int | jax.Array) -> KVC
     cache (continuous batching admission)."""
     slot = jnp.asarray(slot, jnp.int32)
     z = jnp.zeros((), jnp.int32)
-    t = small.k_q.shape[1]
+    t = small.k_q.shape[2]
     assert t <= big.max_seq
-    pad = lambda x4: jnp.pad(
-        x4, ((0, 0), (0, big.max_seq - t)) + ((0, 0),) * (x4.ndim - 2)
+    pad = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, big.max_seq - t)) + ((0, 0),) * (x.ndim - 3)
     )
     return KVCache(
         k_q=jax.lax.dynamic_update_slice(big.k_q, pad(small.k_q), (slot, z, z, z)),
@@ -120,6 +131,7 @@ def write_cache_slot(big: KVCache, small: KVCache, slot: int | jax.Array) -> KVC
 
 
 def dequantize_k(cache: KVCache) -> jax.Array:
+    """(B, H, S, Dh) dense keys (bf16-mode passthrough)."""
     if cache.k_q.dtype != jnp.int8:  # bf16 mode: read the buffer directly
         return cache.k_q
     return cache.k_q.astype(jnp.float32) * cache.k_scale[..., None]

@@ -16,12 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_lutvq.core.config import VQConfig, aqlm_2x8
-from tpu_lutvq.models.kv_cache import (
-    KVCache,
-    dequantize_k,
-    dequantize_v,
-    update_cache,
-)
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
 from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear, make_quantized_linear
 
 
@@ -164,29 +159,50 @@ def _attention_window(
     t_offset: jax.Array,  # (B,)
     window: int,  # static prefix of the cache to attend over
 ) -> jax.Array:
+    """XLA reference attention (prefill path, and the flash kernel's oracle).
+
+    Cache layout is head-major (B, H_kv, S, Dh).  The dequantized cache is
+    kept in bf16 (halves the transient footprint — f32 materialization
+    OOMed 7B at B=8·S=2048); scores accumulate in f32.
+    """
     b, t, nh, dh = q.shape
     rep = cfg.n_heads // cfg.n_kv_heads
-    # dequantized cache kept in bf16 (halves the transient footprint — f32
-    # materialization OOMed 7B at B=8·S=2048); scores accumulate in f32
     pre = cache.slice_prefix(window)
-    k = dequantize_k(pre).astype(jnp.bfloat16)
-    v = dequantize_v(pre).astype(jnp.bfloat16)
+    if pre.k_q.dtype == jnp.int8:
+        # scale-folded form: k/v operands are plain int8→bf16 converts (XLA
+        # fuses the convert into the matmul read — no dequantized cache
+        # materialization in HBM); the per-row scales apply to the small
+        # score/prob matrices instead.  Measured 740→365 µs at 7B B=8 S=2048
+        # vs the materializing form (exp/probe_attn2.py).
+        k = pre.k_q.astype(jnp.bfloat16)
+        v = pre.v_q.astype(jnp.bfloat16)
+        ks, vs = pre.k_scale, pre.v_scale  # (B, H_kv, S)
+    else:
+        k, v = pre.k_q, pre.v_q
+        ks = vs = None
     if rep > 1:
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+        if ks is not None:
+            ks = jnp.repeat(ks, rep, axis=1)
+            vs = jnp.repeat(vs, rep, axis=1)
     scores = jnp.einsum(
-        "bthd,bshd->bhts",
+        "bthd,bhsd->bhts",
         q.astype(jnp.bfloat16),
         k,
         preferred_element_type=jnp.float32,
     ) / jnp.sqrt(jnp.float32(dh))
+    if ks is not None:
+        scores = scores * ks[:, :, None, :]
     spos = jnp.arange(window)[None, None, None, :]
     qpos = t_offset[:, None, None, None] + jnp.arange(t)[None, None, :, None]
     mask = spos <= qpos  # causal within each sequence's own timeline
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
+    if vs is not None:
+        probs = probs * vs[:, :, None, :]
     out = jnp.einsum(
-        "bhts,bshd->bthd",
+        "bhts,bhsd->bthd",
         probs.astype(jnp.bfloat16),
         v,
         preferred_element_type=jnp.float32,
@@ -199,16 +215,38 @@ def _attention(
     q: jax.Array,  # (B, T, H, Dh)
     cache: KVCache,
     t_offset: jax.Array,  # (B,) position of q[:, 0] per sequence
+    window: Optional[int],
+    attn: str,
+    interpret: bool | None,
 ) -> jax.Array:
-    """Attention over the full static INT8 cache window.
+    """Attention over a static prefix ``window`` of the INT8 cache.
 
-    A ``lax.switch`` over power-of-two cache windows was tried to avoid
-    reading the whole max_seq every decode step, but measured 80% SLOWER
-    end-to-end (the branch inside the layer scan defeats XLA's scan
-    optimization and forces cache copies) — see BENCH_NOTES.md.  Length
-    bucketing belongs at the jit level (recompile per bucket), a round-2
-    item; ``_attention_window``/``KVCache.slice_prefix`` are the pieces."""
-    return _attention_window(cfg, q, cache, t_offset, cache.max_seq)
+    Decode (T=1) runs the fused flash-decode Pallas kernel (in-VMEM int8
+    dequant, no bf16 cache materialization); prefill and ``attn="xla"``
+    use the einsum reference path.  ``window`` bounds the cache prefix
+    actually read; bucketing happens at the jit level — a ``lax.switch``
+    over windows inside the layer scan measured 80 % slower end-to-end
+    (BENCH_NOTES.md round 1), so callers pick ``window`` per decode
+    segment instead (runtime.generate / bench.e2e).
+    """
+    b, t, nh, dh = q.shape
+    if window is None:
+        window = cache.max_seq
+    if t == 1 and attn == "flash":
+        from tpu_lutvq.kernels.flash_decode import flash_decode_attention
+
+        out = flash_decode_attention(
+            q[:, 0],
+            cache.k_q,
+            cache.v_q,
+            cache.k_scale,
+            cache.v_scale,
+            t_offset,
+            window=window,
+            interpret=interpret,
+        )  # (B, H, Dh)
+        return out.reshape(b, 1, nh * dh)
+    return _attention_window(cfg, q, cache, t_offset, window)
 
 
 def _block(
@@ -220,6 +258,8 @@ def _block(
     strategy: str,
     interpret: bool | None,
     axis_name: Optional[str] = None,  # TP mesh axis: psum row-parallel outputs
+    window: Optional[int] = None,  # static cache prefix to attend over
+    attn: str = "xla",
 ) -> tuple[jax.Array, KVCache]:
     b, t, h = x.shape
     vq_h = cfg.vq_cfg(cfg.hidden)
@@ -235,8 +275,8 @@ def _block(
     q = rope(q, tpos, cfg.rope_theta)
     k = rope(k, tpos, cfg.rope_theta)
     cache = update_cache(cache, k, v, pos)
-    attn = _attention(cfg, q, cache, pos)
-    attn_out = lw.wo.apply(vq_o, attn, **kw)
+    attn_out_raw = _attention(cfg, q, cache, pos, window, attn, interpret)
+    attn_out = lw.wo.apply(vq_o, attn_out_raw, **kw)
     if axis_name is not None:  # row-parallel over head shards
         attn_out = jax.lax.psum(attn_out, axis_name)
     x = x + attn_out
@@ -280,8 +320,15 @@ def llama_forward(
     strategy: str = "auto",
     interpret: bool | None = None,
     axis_name: Optional[str] = None,
+    window: Optional[int] = None,
+    attn: str = "xla",
 ):
     """Forward pass over T new tokens at absolute position(s) ``pos``.
+
+    ``window`` (static) bounds the cache prefix attention reads — the
+    length-bucketing hook: recompile per bucket, blocks past the bucket are
+    never streamed (flash kernel grid).  ``attn`` picks the decode kernel
+    ("flash" fused Pallas | "xla" einsum oracle).
 
     With ``axis_name`` set (inside shard_map over a TP mesh axis) the layer
     dims in ``cfg`` must be the per-device locals; row-parallel projections
@@ -316,7 +363,10 @@ def llama_forward(
                 lambda c: jax.lax.dynamic_index_in_dim(c, li, 0, keepdims=False),
                 caches_all,
             )
-            x, cache_i = _block(cfg, lw, x, cache_i, pos, strategy, interpret, axis_name)
+            x, cache_i = _block(
+                cfg, lw, x, cache_i, pos, strategy, interpret, axis_name,
+                window, attn,
+            )
             caches_all = jax.tree.map(
                 lambda c, nc: jax.lax.dynamic_update_index_in_dim(c, nc, li, 0),
                 caches_all,
@@ -330,7 +380,10 @@ def llama_forward(
     else:
         new_caches = []
         for lw, cache in zip(weights.layers, caches):
-            x, cache = _block(cfg, lw, x, cache, pos, strategy, interpret, axis_name)
+            x, cache = _block(
+                cfg, lw, x, cache, pos, strategy, interpret, axis_name,
+                window, attn,
+            )
             new_caches.append(cache)
         new_caches = tuple(new_caches)
     x = rms_norm(x, weights.final_norm, cfg.rms_eps)

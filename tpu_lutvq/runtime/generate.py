@@ -28,6 +28,24 @@ class GenerationResult(NamedTuple):
     lengths: jax.Array  # (B,) total valid length per sequence
 
 
+MIN_BUCKET = 256
+
+
+def bucket_window(n_valid: int, max_seq: int, min_bucket: int = MIN_BUCKET) -> int:
+    """Static attention window (length bucket) covering ``n_valid`` cache rows.
+
+    Power-of-two buckets from ``min_bucket`` up to ``max_seq``: the decode
+    loop recompiles once per bucket (≤ log2 buckets total) and the flash
+    kernel then only streams ``window`` rows per step instead of the full
+    static cache.  Bucketing must live at this (jit) level — a ``lax.switch``
+    over windows inside the layer scan measured 80 % slower (BENCH_NOTES.md).
+    """
+    w = min(min_bucket, max_seq)
+    while w < min(n_valid, max_seq):
+        w *= 2
+    return min(w, max_seq)
+
+
 def sample_logits(
     logits: jax.Array, key: jax.Array, temperature: float = 0.0, top_k: int = 0
 ) -> jax.Array:
@@ -71,10 +89,13 @@ def generate(
         llama_decode_step, cfg, strategy=strategy, interpret=interpret
     )
     if jit:
-        prefill = jax.jit(prefill)
-        step = jax.jit(step)
+        prefill = jax.jit(prefill, static_argnames=("window",))
+        step = jax.jit(step, static_argnames=("window",))
 
-    logits, caches = prefill(weights, prompt, caches, jnp.int32(0))
+    logits, caches = prefill(
+        weights, prompt, caches, jnp.int32(0),
+        window=bucket_window(t0, cfg.max_seq),
+    )
     key, sub = jax.random.split(key)
     next_tok = sample_logits(logits[:, -1], sub, temperature, top_k)
 
@@ -86,7 +107,10 @@ def generate(
             done = done | (next_tok == eos_id)
             if bool(jnp.all(done)):
                 break
-        logits, caches = step(weights, next_tok, caches, jnp.int32(t0 + i - 1))
+        logits, caches = step(
+            weights, next_tok, caches, jnp.int32(t0 + i - 1),
+            window=bucket_window(t0 + i, cfg.max_seq),
+        )
         key, sub = jax.random.split(key)
         next_tok = sample_logits(logits, sub, temperature, top_k)
         if eos_id is not None:

@@ -33,7 +33,7 @@ _lock = threading.Lock()
 _result: dict = {}
 _done = threading.Event()
 
-UNIT = "% of v5e HBM roofline (4096x4096 AQLM-2x8 GEMV, B=1)"
+UNIT = "% of v5e HBM roofline (4096x4096 AQLM-2x8 shared-codebook GEMV, B=1)"
 
 
 def _emit_and_exit() -> None:
@@ -89,8 +89,11 @@ def main() -> None:
     from tpu_lutvq.dataflow.chips import CHIPS
     from tpu_lutvq.kernels import lut_gemv, pack_params
 
+    # shared codebook = the layout real AQLM checkpoints ship (ISTA-DASLab
+    # releases are layer-wide codebooks); per-subvector codebooks add an
+    # 8.4 MB f32 codebook read per call that real serving never pays.
     d_in = d_out = 4096
-    cfg = aqlm_2x8(d_in, group=8)
+    cfg = aqlm_2x8(d_in, group=8, shared_codebook=True)
     params = init_vq_params(
         jax.random.PRNGKey(0), cfg, d_out, dtype=jnp.float32, with_scales=True
     )
@@ -98,8 +101,9 @@ def main() -> None:
     x = jax.random.normal(jax.random.PRNGKey(1), (1, d_in), dtype=jnp.float32)
 
     chip = CHIPS["v5e"]
-    kp = max(cfg.n_cluster, 128)
-    lut_bytes = 2 * cfg.n_groups * kp * 4  # write + read of the per-token LUT
+    # auto → "pair" variant at B=1/K=256: the kernel table is (G, 128) i32
+    # words (bf16 entry pairs), written once + read once
+    lut_bytes = 2 * cfg.n_groups * 128 * 4
     codes_bytes = packed.codes_t.size  # uint8, read once — compulsory traffic
     total_bytes = (
         codes_bytes
@@ -111,14 +115,36 @@ def main() -> None:
 
     f = lambda x: lut_gemv(cfg, packed, x)
 
+    # Physical floor: the kernel cannot beat its compulsory code traffic at
+    # HBM peak.  A measurement below ~half of that is tunnel-RTT jitter
+    # swamping the signal (observed: small-n differences can go ≤ 0), not
+    # speed — discard it rather than record a nonsense roofline %.
+    floor_s = 0.5 * codes_bytes / (chip.hbm_gbps * 1e9)
+
     # Quick pass lands a number early (compile happens here; cached on disk).
     dt = bench_time(f, x, n=64, repeats=1)
-    _record(dt, total_bytes, codes_bytes, chip.hbm_gbps, "quick n=64")
+    if dt > floor_s:
+        _record(dt, total_bytes, codes_bytes, chip.hbm_gbps, "quick n=64")
 
-    # Refined pass if budget allows (same compiled program, dynamic rep count).
-    if time.time() - T0 < BUDGET_S - 60:
-        dt2 = bench_time(f, x, n=256, repeats=2)
-        _record(min(dt, dt2), total_bytes, codes_bytes, chip.hbm_gbps, "refined n=256")
+    # Refined pass if budget allows (same compiled program, dynamic rep count;
+    # n=1024 puts ~24 ms of signal against ~ms RTT jitter).
+    best = dt
+    if time.time() - T0 < BUDGET_S - 90:
+        dt2 = bench_time(f, x, n=1024, repeats=3)
+        if dt2 > floor_s:
+            best = min(dt, dt2) if dt > floor_s else dt2
+            _record(best, total_bytes, codes_bytes, chip.hbm_gbps, "refined n=1024")
+
+    # Dense bf16 comparison at the same shape (the reference's layer-tier
+    # metric: dense vs LUT speedup, benchmark_rq_gemm_cpu.py:150-152).
+    if best > floor_s and time.time() - T0 < BUDGET_S - 60:
+        w = jax.random.normal(jax.random.PRNGKey(2), (d_out, d_in), jnp.bfloat16)
+        fd = lambda x: (x.astype(jnp.bfloat16) @ w.T).astype(jnp.float32)
+        dtd = bench_time(fd, x, n=512, repeats=2)
+        if dtd > 0:
+            with _lock:
+                _result["dense_us_per_call"] = round(dtd * 1e6, 2)
+                _result["dense_speedup"] = round(dtd / best, 2)
 
     _done.set()
     with _lock:

@@ -1,0 +1,95 @@
+"""Probe: int8 primitives for the integer-accumulate LUT kernel variant.
+
+1. pltpu.bitcast (R,128) i32 -> int8: does it compile, and what is the row
+   order (expect (4R,128) with row 4r+j = byte j, little-endian, matching
+   the bf16 pair bitcast convention)?
+2. dot_general s8 x s8 -> s32 on the MXU inside Pallas: supported?
+3. combined: gather i32 word -> bitcast i8 rows -> int8 selector matmul.
+"""
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def kern_bitcast(x_ref, o_ref):
+    o_ref[...] = pltpu.bitcast(x_ref[...], jnp.int8)
+
+
+def kern_i8mm(a_ref, b_ref, o_ref):
+    o_ref[...] = jax.lax.dot_general(
+        a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def kern_combined(tab_ref, idx_ref, sel_ref, o_ref):
+    idx = idx_ref[...]
+    word = jnp.take_along_axis(tab_ref[...], idx, axis=1)
+    rows = pltpu.bitcast(word, jnp.int8)  # (4R, 128)
+    o_ref[...] = jax.lax.dot_general(
+        sel_ref[...], rows, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def run(name, kern, outshape, outdtype, *args):
+    try:
+        f = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(outshape, outdtype),
+        )
+        r = jax.jit(f)(*args)
+        r = np.asarray(r)
+        print(f"{name}: OK shape={r.shape} dtype={r.dtype}", flush=True)
+        return r
+    except Exception as e:
+        print(f"{name}: FAIL {type(e).__name__}: {str(e)[:300]}", flush=True)
+        return None
+
+
+if __name__ == "__main__":
+    print(jax.devices(), flush=True)
+    R = 8
+    # 1. bitcast semantics: word = b0 | b1<<8 | b2<<16 | b3<<24
+    words = jnp.asarray(
+        np.arange(R * LANE, dtype=np.int64).reshape(R, LANE) * 0x01010101
+        + np.asarray([0x03020100]),
+        jnp.int32,
+    )
+    r = run("bitcast_i32_to_i8", kern_bitcast, (4 * R, LANE), jnp.int8, words)
+    if r is not None:
+        w0 = int(np.asarray(words)[0, 1])
+        print("  word[0,1] bytes:", [(w0 >> (8 * j)) & 0xFF for j in range(4)])
+        print("  rows 0..3 at lane 1:", [int(r[j, 1]) & 0xFF for j in range(4)])
+
+    # 2. int8 MXU
+    a = jnp.ones((8, 128), jnp.int8)
+    b = jnp.ones((128, 128), jnp.int8)
+    r = run("dot_s8s8_s32", kern_i8mm, (8, 128), jnp.int32, a, b)
+    if r is not None:
+        print("  expect 128:", int(r[0, 0]))
+
+    # 3. combined gather+bitcast+int8 selector
+    g = 8
+    tab = jnp.asarray(
+        np.random.RandomState(0).randint(-(2**31), 2**31 - 1, (g, LANE)), jnp.int32
+    )
+    idx = jnp.asarray(np.random.RandomState(1).randint(0, LANE, (g, LANE)), jnp.int32)
+    sel = jnp.asarray(
+        (np.arange(4)[:, None] == (np.arange(4 * g) % 4)[None, :]).astype(np.int8)
+    )
+    r = run("combined", kern_combined, (4, LANE), jnp.int32, tab, idx, sel)
+    if r is not None:
+        tabn = np.asarray(tab)
+        idxn = np.asarray(idx)
+        wordn = np.take_along_axis(tabn, idxn, axis=1)
+        bytesn = wordn.view(np.int8).reshape(g, LANE, 4)
+        want = bytesn.sum(axis=0).T.astype(np.int32)  # (4, LANE)
+        print("  matches numpy byte-sum:", bool(np.array_equal(r, want)))

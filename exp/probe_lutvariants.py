@@ -1,0 +1,27 @@
+"""Time lut_gemv kernel variants on the headline 4096x4096 AQLM-2x8 shape."""
+import sys
+import jax, jax.numpy as jnp
+import tpu_lutvq as lv
+from tpu_lutvq.bench.harness import bench_time
+from tpu_lutvq.kernels.lut_gemv import lut_gemv, pack_params
+
+D_IN, D_OUT = 4096, 4096
+cfg = lv.aqlm_2x8(D_IN)
+params = lv.init_vq_params(jax.random.PRNGKey(0), cfg, d_out=D_OUT, dtype=jnp.bfloat16)
+packed = pack_params(cfg, params)
+codes_mb = cfg.n_groups * D_OUT / 1e6
+
+for B, variants in [
+    (1, ("f32", "pair")),
+    (2, ("f32", "bpair", "i8")),
+    (4, ("bpair", "i8")),
+    (8, ("f32", "bpair", "i8")),
+    (16, ("bpair", "i8")),
+]:
+    x = jax.random.normal(jax.random.PRNGKey(B), (B, D_IN))
+    for v in variants:
+        f = jax.jit(lambda x, p, v=v: lut_gemv(cfg, p, x, variant=v))
+        t = bench_time(f, x, packed, n=128)
+        gbs = codes_mb / 1e3 / t
+        print(f"B={B} {v}: {t*1e6:.1f}us  codes {gbs:.0f} GB/s  "
+              f"({gbs/819*100:.1f}% HBM roofline)", flush=True)

@@ -53,9 +53,10 @@ def test_tp_decode_matches_single_device(model, tp, strategy):
         cfg, weights, tokens, caches_1, pos, strategy=strategy, interpret=True
     )
     # psum reduction order differs from single-device summation; through the
-    # int8 KV quantizer a boundary value can flip one count → few-element 1e-3
+    # int8 KV quantizer a boundary value can flip one count, and per-shard
+    # LUTs quantize to bf16 independently under the pair kernels → 2e-2
     np.testing.assert_allclose(
-        np.asarray(logits_tp), np.asarray(logits_1), rtol=5e-3, atol=5e-3
+        np.asarray(logits_tp), np.asarray(logits_1), rtol=2e-2, atol=2e-2
     )
     # caches must agree too (concatenated over the head shards)
     k_tp = np.asarray(jax.device_get(caches_tp[0].k_q))

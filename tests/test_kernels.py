@@ -26,16 +26,31 @@ KERNEL_CFGS = [
 ]
 
 
+@pytest.mark.parametrize(
+    "variant,tol",
+    [
+        ("f32", 1e-5),      # two-gather f32 tables: the precision oracle
+        ("pair", 2e-2),     # bf16 (k, k+128)-pair words, one gather
+        ("bpair", 2e-2),    # bf16 token-pair words, one gather per 2 tokens
+        ("i8", 5e-2),       # int8 entries + exact int32 MXU accumulate
+        ("auto", 2e-2),
+    ],
+)
 @pytest.mark.parametrize("cfg,d_out,batch", KERNEL_CFGS)
 @pytest.mark.parametrize("with_scales", [False, True])
-def test_lut_gemv_matches_golden(rng, cfg, d_out, batch, with_scales):
+def test_lut_gemv_matches_golden(rng, cfg, d_out, batch, with_scales, variant, tol):
+    if variant == "pair" and cfg.n_cluster <= 128:
+        pytest.skip("pair variant is the K=256 path (K≤128 falls back to f32)")
     params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=with_scales)
     packed = pack_params(cfg, params, block_j=256)
     x = jax.random.normal(jax.random.PRNGKey(3), (batch, cfg.d_in), dtype=jnp.float32)
-    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
+    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True, variant=variant)
     want = golden.lut_gemm(cfg, params, x)
     assert got.shape == (batch, d_out)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=tol, atol=tol
+    )
 
 
 @pytest.mark.parametrize("tables,tol", [("f32", 1e-4), ("bf16x2", 3e-2)])
@@ -60,9 +75,16 @@ def test_lut_gemv_tmac(rng):
     params = init_vq_params(rng, cfg, 256)
     packed = pack_params(cfg, params, block_j=256)
     x = jax.random.normal(jax.random.PRNGKey(5), (2, cfg.d_in), dtype=jnp.float32)
-    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
     want = golden.lut_gemm(cfg, params, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    scale = float(jnp.abs(want).max())
+    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)  # auto → bpair (bf16)
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=1e-2, atol=1e-2
+    )
+    got32 = lut_gemv(cfg, packed, x, block_j=256, interpret=True, variant="f32")
+    np.testing.assert_allclose(
+        np.asarray(got32) / scale, np.asarray(want) / scale, rtol=1e-5, atol=1e-5
+    )
 
 
 def test_lut_gemv_tmac_nibble_packed(rng):
@@ -88,7 +110,8 @@ def test_nibble_pack_rejects_8bit(rng):
 
 
 def test_lut_gemv_batch_chunking(rng):
-    """Batches beyond MAX_LUT_BATCH are chunked across kernel launches."""
+    """Batches beyond MAX_LUT_BATCH are chunked across kernel launches
+    (odd batch also exercises the bpair zero-pad tail)."""
     cfg = VQConfig(128, 16, 2, 128)
     params = init_vq_params(rng, cfg, 128, dtype=jnp.float32)
     packed = pack_params(cfg, params, block_j=128)
@@ -96,7 +119,10 @@ def test_lut_gemv_batch_chunking(rng):
     got = lut_gemv(cfg, packed, x, block_j=128, interpret=True)
     want = golden.lut_gemm(cfg, params, x)
     assert got.shape == (11, 128)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=1e-2, atol=1e-2
+    )
 
 
 def test_build_lut_pads_lanes(rng):

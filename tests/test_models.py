@@ -22,12 +22,17 @@ def test_quantized_linear_strategies_agree(rng):
     layer = QuantizedLinear(packed=pack_params(cfg, params, block_j=128))
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 128), dtype=jnp.float32)
     y_lut = layer.apply(cfg, x, strategy="lut_gemv", interpret=True)
+    y_lut32 = layer.apply(cfg, x, strategy="lut_gemv", interpret=True, variant="f32")
     y_dq = layer.apply(cfg, x, strategy="dequant_mm", interpret=True)
     y_dense = layer.apply(cfg, x, strategy="dense_bf16")
     want = golden.lut_gemm(cfg, params, x.reshape(-1, 128)).reshape(4, 3, 192)
-    np.testing.assert_allclose(np.asarray(y_lut), np.asarray(want), rtol=1e-5, atol=1e-5)
-    # dequant_mm defaults to bf16x2 tables (serving precision)
+    # f32 kernel variant is exact; the default (bf16 pair kernels) and
+    # dequant_mm (bf16x2 tables) are serving precision
+    np.testing.assert_allclose(np.asarray(y_lut32), np.asarray(want), rtol=1e-5, atol=1e-5)
     s = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(y_lut) / s, np.asarray(want) / s, rtol=2e-2, atol=2e-2
+    )
     np.testing.assert_allclose(
         np.asarray(y_dq) / s, np.asarray(want) / s, rtol=2e-2, atol=2e-2
     )
@@ -98,7 +103,11 @@ def test_llama_quantized_matches_dense_path(tiny_model):
     l2, _ = llama_forward(
         cfg, weights, tokens, init_caches(cfg, 1), jnp.int32(0), strategy="dense_bf16"
     )
-    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-3)
+    # bf16 pair kernels (serving precision) accumulate ~1e-2 through layers
+    s = float(jnp.abs(np.asarray(l2)).max())
+    np.testing.assert_allclose(
+        np.asarray(l1) / s, np.asarray(l2) / s, rtol=2e-2, atol=2e-2
+    )
 
 
 def test_llama_scan_matches_loop(tiny_model):

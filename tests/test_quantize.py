@@ -6,9 +6,9 @@ import numpy as np
 import pytest
 
 from tpu_lutvq.core import golden
-from tpu_lutvq.core.config import aqlm_2x8
+from tpu_lutvq.core.config import VQConfig, aqlm_2x8
 from tpu_lutvq.core.params import init_vq_params
-from tpu_lutvq.core.quantize import fit_vq, quantization_error
+from tpu_lutvq.core.quantize import fit_vq, quantization_error, refit_to_2x8
 
 
 def test_fit_recovers_representable_weight(rng):
@@ -33,6 +33,40 @@ def test_fit_beats_random_and_improves_with_iters(rng):
     assert e_6 < 0.8 * e_rand, (e_6, e_rand)
 
 
+def test_refit_recovers_additively_decomposable_1x16(rng):
+    """If the 1x16 codebook IS a sum of two 256-entry codebooks, the hi/lo
+    split-init refit recovers it (near) exactly — the fused-1x16 parity
+    anchor (ref: code1x16_matmat, benchmark_rq_gemm_gpu.py:103-105)."""
+    g, d_out, d_in = 8, 48, 32
+    k1, k2 = jax.random.split(rng)
+    c_hi = jax.random.normal(k1, (256, g), jnp.float32)
+    c_lo = jax.random.normal(k2, (256, g), jnp.float32) * 0.3
+    codes16 = jax.random.randint(
+        jax.random.PRNGKey(7), (d_out, d_in // g), 0, 65536, dtype=jnp.int32
+    )
+    w = (c_hi[(codes16 >> 8) & 0xFF] + c_lo[codes16 & 0xFF]).reshape(d_out, d_in)
+    cfg2, params, err = refit_to_2x8(
+        jax.random.PRNGKey(8), w, codes_1x16=codes16, group=g, iters=2
+    )
+    assert cfg2 == aqlm_2x8(d_in, group=g, shared_codebook=True)
+    assert err < 1e-4, err
+
+
+def test_refit_generic_1x16_bounded_error(rng):
+    """Arbitrary (non-decomposable) 1x16 content refits with bounded error
+    and the result serves through the fused kernel."""
+    from tpu_lutvq.kernels import lut_gemv, pack_params
+
+    w = jax.random.normal(rng, (64, 32), jnp.float32)
+    cfg2, params, err = refit_to_2x8(jax.random.PRNGKey(9), w, iters=4)
+    assert err < 0.9, err  # 2x8 of Gaussian noise: bounded, not tiny
+    packed = pack_params(cfg2, params, block_j=128)
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 32), jnp.float32)
+    y = lut_gemv(cfg2, packed, x, block_j=128, interpret=True, variant="f32")
+    y_gold = golden.lut_gemm(cfg2, params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_gold), rtol=1e-4, atol=1e-4)
+
+
 def test_fitted_params_run_through_kernels(rng):
     """End-to-end: quantize dense W, run the fused kernel, compare y ≈ Wx."""
     from tpu_lutvq.kernels import lut_gemv, pack_params
@@ -42,11 +76,13 @@ def test_fitted_params_run_through_kernels(rng):
     params = fit_vq(jax.random.PRNGKey(4), w, cfg, iters=6)
     packed = pack_params(cfg, params, block_j=128)
     x = jax.random.normal(jax.random.PRNGKey(5), (2, 64), dtype=jnp.float32)
-    y = lut_gemv(cfg, packed, x, block_j=128, interpret=True)
+    y = lut_gemv(cfg, packed, x, block_j=128, interpret=True, variant="f32")
     y_true = x @ w.T
     rel = float(jnp.linalg.norm(y - y_true) / jnp.linalg.norm(y_true))
     # 2-bit quantization of Gaussian noise: bounded, not tiny
     assert rel < 0.75, rel
     # and the kernel agrees with the golden model on the FITTED params exactly
+    # (f32 variant — the bf16 pair variants are tolerance-tested in
+    # test_kernels.py)
     y_gold = golden.lut_gemm(cfg, params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_gold), rtol=1e-4, atol=1e-4)

@@ -22,11 +22,15 @@ from typing import Optional
 from tpu_lutvq.core.config import VQConfig
 from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
 
-# Calibrated VPU lane-op costs per code per token (v5e; fitted against
-# measured 4096×11008: 96 µs B=1 post wrap-mod optimization, ~950 µs B=8 —
-# in practice almost nothing amortizes across the batch, convert included).
-_OPS_PER_CODE_K256 = 9.5
+# Calibrated VPU lane-op costs (v5e, round-2 kernels; exp/probe_lutvariants):
+# B=1 K=256 "pair" variant (one gather + varshift on bf16 entry-pair words):
+# 22 µs on 4096² → ~5.0 lane-ops/code.  Batched "bpair" variant (one gather
+# serves a token pair): ~9.8 lane-ops/code per PAIR (measured 51.4 µs B=2,
+# 164.8 µs B=8 on 4096²) — the round-1 per-token kernel was 9.5/token.
+_OPS_PER_CODE_K256_PAIR = 5.0
+_OPS_PER_CODE_K256_BPAIR = 9.8  # per token PAIR
 _OPS_PER_CODE_K128 = 5.3
+_OPS_PER_CODE_K128_BPAIR = 6.0  # per token pair (single gather, no select)
 _OPS_PER_CODE_SHARED = 0.0
 # dequant_mm: per code, batch-amortized: d words × (2 gathers + select + sums
 # + scratch store); calibrated on v5e (830us for 11008×1024 codes, d=8 →
@@ -83,13 +87,24 @@ def cost_lut_gemv(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
     dataflow (vq.py:253-263): codes read once, LUT written+read once."""
     codes, inp, psum, codebook = _base_traffic(cfg, d_out, batch)
     kp = max(cfg.n_cluster, 128)
-    lut_bytes = 2 * batch * cfg.n_groups * kp * 4  # HBM write + read
     n_codes = d_out * cfg.n_groups
-    ops = _OPS_PER_CODE_K256 if cfg.n_cluster > 128 else _OPS_PER_CODE_K128
-    vpu = n_codes * (_OPS_PER_CODE_SHARED + ops * batch)
+    wide = cfg.n_cluster > 128
+    if batch == 1:
+        # "pair"/f32 single-token kernels; pair table is (G, 128) i32
+        tab_lanes = 128 if wide else kp
+        lut_bytes = 2.0 * cfg.n_groups * tab_lanes * 4
+        vpu = n_codes * (
+            _OPS_PER_CODE_K256_PAIR if wide else _OPS_PER_CODE_K128
+        )
+    else:
+        # "bpair": one packed (G, Kp) i32 table and one gather per token pair
+        pairs = (batch + 1) // 2
+        lut_bytes = 2.0 * pairs * cfg.n_groups * kp * 4
+        per_pair = _OPS_PER_CODE_K256_BPAIR if wide else _OPS_PER_CODE_K128_BPAIR
+        vpu = n_codes * (_OPS_PER_CODE_SHARED + per_pair * pairs)
     mxu = 2 * batch * cfg.lut_entries * cfg.d_subvec  # LUT build
-    mxu += 2 * batch * d_out * cfg.n_groups  # ones-reduce
-    vmem = batch * cfg.n_groups * kp * 4 + 2 * cfg.n_groups * 1024
+    mxu += 2 * batch * d_out * cfg.n_groups  # selector-reduce
+    vmem = ((batch + 1) // 2) * cfg.n_groups * kp * 4 + 2 * cfg.n_groups * 1024
     return KernelCost(
         "lut_gemv",
         {

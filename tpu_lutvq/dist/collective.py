@@ -82,6 +82,7 @@ def overlapped_row_parallel_gemv(
     axis: str,
     p: int,
     interpret: bool | None = None,
+    variant: str = "auto",
 ) -> jax.Array:
     """Row-parallel LUT-GEMV with ring-overlapped reduction.
 
@@ -119,7 +120,9 @@ def overlapped_row_parallel_gemv(
             shards=1,
             nibbles=packed.nibbles,
         )
-        return lut_gemv(cfg, sub, x_local, block_j=chunk, interpret=interpret)
+        return lut_gemv(
+            cfg, sub, x_local, block_j=chunk, interpret=interpret, variant=variant
+        )
 
     block, my_idx = ring_reduce_scatter(partial_fn, axis, p)
     return ring_all_gather(block, axis, p, my_idx)

@@ -34,6 +34,7 @@ def build_lut(
     codebook: jax.Array,
     x: jax.Array,
     pad_lanes: bool = True,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Compute per-token LUTs, laid out for the gather kernel.
 
@@ -47,11 +48,30 @@ def build_lut(
 
     ``lut[b, n·M+m, k] = Σ_d codebook[m,n,k,d] · x[b, m·d_sub + d]``
     (reference semantics: vq.py:280-285).
+
+    ``compute_dtype=jnp.bfloat16`` halves the codebook read (the dominant
+    cost for per-subvector codebooks: 8.4 MB f32 at Llama 4096² — measured
+    19 µs of a 35 µs B=1 call) with f32 accumulation; used by the serving
+    variants whose tables are bf16/int8 anyway.  Shared codebooks skip the
+    (M, N, K, d) broadcast entirely.
     """
-    cb = broadcast_codebook(cfg, codebook).astype(jnp.float32)
-    xr = x.reshape(x.shape[0], cfg.n_subvec, cfg.d_subvec).astype(jnp.float32)
-    lut = jnp.einsum("mnkd,bmd->bnmk", cb, xr)  # MXU
-    lut = lut.reshape(x.shape[0], cfg.n_groups, cfg.n_cluster)
+    xr = x.reshape(x.shape[0], cfg.n_subvec, cfg.d_subvec).astype(compute_dtype)
+    if codebook.shape[0] == 1 and cfg.n_subvec > 1:
+        # shared codebook: one (N·K, d) × (d, B·M) contraction, no broadcast
+        lut = jnp.einsum(
+            "nkd,bmd->bnmk",
+            codebook[0].astype(compute_dtype),
+            xr,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cb = broadcast_codebook(cfg, codebook).astype(compute_dtype)
+        lut = jnp.einsum(
+            "mnkd,bmd->bnmk", cb, xr, preferred_element_type=jnp.float32
+        )  # MXU
+    lut = lut.astype(jnp.float32).reshape(
+        x.shape[0], cfg.n_groups, cfg.n_cluster
+    )
     if pad_lanes and cfg.n_cluster < LANE:
         lut = jnp.pad(lut, ((0, 0), (0, 0), (0, LANE - cfg.n_cluster)))
     return lut

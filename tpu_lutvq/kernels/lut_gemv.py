@@ -185,6 +185,224 @@ def pack_params(
     )
 
 
+def resolve_variant(variant: str, *, nibbles: bool, batch: int, k: int) -> str:
+    """Resolve "auto" to a concrete lookup-kernel variant (idempotent)."""
+    if nibbles:
+        return "nibbles"
+    if variant == "auto":
+        variant = ("pair" if k > LANE else "f32") if batch == 1 else "bpair"
+    if variant == "pair" and k <= LANE:
+        return "f32"  # no K halves to pack — single gather is already minimal
+    return variant
+
+
+def _bitcast_pair_rows(x_i32: jax.Array, interpret: bool) -> jax.Array:
+    """(R, 128) int32 → (2R, 128) bf16 with row 2r = low half-word of row r.
+    Compiled: native Mosaic bitcast.  Interpret: emulate via lax bitcast."""
+    r = x_i32.shape[0]
+    if not interpret:
+        return pltpu.bitcast(x_i32, jnp.bfloat16)
+    pairs = jax.lax.bitcast_convert_type(x_i32, jnp.bfloat16)  # (R, 128, 2)
+    return jnp.stack([pairs[..., 0], pairs[..., 1]], axis=1).reshape(2 * r, LANE)
+
+
+def _pack_lut_pair_lohi(lut: jax.Array) -> jax.Array:
+    """(B, G, 2·LANE) f32 LUTs → (B·G, LANE) int32 words packing bf16
+    entries (k, k+128) per lane: the K=256 split rides INSIDE the word, so
+    the kernel needs ONE gather + a variable shift instead of two gathers +
+    select (the round-1 design).  Entry k in the low half-word."""
+    lo = lut[..., :LANE].astype(jnp.bfloat16)
+    hi = lut[..., LANE : 2 * LANE].astype(jnp.bfloat16)
+    lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint16).astype(jnp.uint32)
+    hi_u = jax.lax.bitcast_convert_type(hi, jnp.uint16).astype(jnp.uint32)
+    w = (lo_u | (hi_u << 16)).astype(jnp.int32)
+    return w.reshape(-1, LANE)
+
+
+def _pack_lut_pair_batch(lut: jax.Array) -> jax.Array:
+    """(B_even, G, Kp) f32 LUTs → (B/2·G, Kp) int32 words packing bf16
+    entries of tokens (2p, 2p+1) per lane: one gather serves TWO tokens
+    (codes are batch-independent, so both tokens need the same entry).
+    Token 2p in the low half-word."""
+    lo = lut[0::2].astype(jnp.bfloat16)
+    hi = lut[1::2].astype(jnp.bfloat16)
+    lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint16).astype(jnp.uint32)
+    hi_u = jax.lax.bitcast_convert_type(hi, jnp.uint16).astype(jnp.uint32)
+    w = (lo_u | (hi_u << 16)).astype(jnp.int32)
+    return w.reshape(-1, lut.shape[-1])
+
+
+def _even_row_weights(rows: int, n_out: int) -> jax.Array:
+    """(n_out, rows) bf16 selector over bitcast half-word rows: W[i, r] = 1
+    where r % 2 == i.  n_out=1 sums even rows only (zeroing the garbage high
+    half-words for free on the MXU); n_out=2 de-interleaves even/odd rows
+    into two psum rows (the token pair)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_out, rows), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_out, rows), 0)
+    return jnp.where(r % 2 == i, 1.0, 0.0).astype(jnp.bfloat16)
+
+
+def _gemv_kernel_pair(
+    lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, block_j, has_scales,
+    interpret,
+):
+    """One-gather K=256 variant: lut words pack bf16 (k, k+128) pairs.
+
+    Per tile: ``word >> ((idx>>3)&16)`` moves the selected half into the low
+    16 bits (idx bit 7 picks the half); the i32→bf16 row-bitcast then puts
+    selected entries on EVEN rows and garbage on odd rows, and the MXU
+    selector weights sum even rows only.  5 lane-ops/code with ONE gather
+    (vs 5 with two gathers round-1) and a bf16 MXU feed.
+    """
+    w_even = _even_row_weights(2 * g, 1)
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (g,128)
+        shamt = (idx >> 3) & 16
+        # hardware lane-gather wraps idx mod 128; the interpreter clamps
+        idx_g = (idx & (LANE - 1)) if interpret else idx
+        for b in range(batch):
+            table = lut_ref[b * g : (b + 1) * g, :]
+            word = jnp.take_along_axis(table, idx_g, axis=1)
+            sel = jax.lax.shift_right_logical(word, shamt)
+            pairs = _bitcast_pair_rows(sel, interpret)  # (2g, 128) bf16
+            psum = jax.lax.dot_general(
+                w_even, pairs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, 128)
+            if has_scales:
+                psum = psum * scales_ref[:, t * LANE : (t + 1) * LANE]
+            out_ref[b, t * LANE : (t + 1) * LANE] = psum[0]
+
+
+def _gemv_kernel_bpair(
+    lut_ref, codes_ref, scales_ref, out_ref, *, pairs_n, g, k, block_j,
+    has_scales, interpret,
+):
+    """Batch-pair variant: lut words pack bf16 entries of tokens (2p, 2p+1).
+
+    Codes are shared across the batch, so one gather fetches the entry for
+    two tokens at once; the row-bitcast interleaves the tokens on even/odd
+    rows and a (2, 2g) MXU selector de-interleaves them into two psum rows.
+    2.5 lane-ops/code/token at K=256 (1.5 at K≤128).
+    """
+    two_gather = k > LANE
+    w_sel = _even_row_weights(2 * g, 2)
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (g,128)
+        if two_gather:
+            is_lo = idx < LANE
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+        else:
+            idx_g = idx
+        for p in range(pairs_n):
+            table = lut_ref[p * g : (p + 1) * g, :]
+            if two_gather:
+                lo = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_g, axis=1)
+                word = jnp.where(is_lo, lo, hi)
+            else:
+                word = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+            prs = _bitcast_pair_rows(word, interpret)  # (2g, 128) bf16
+            psum = jax.lax.dot_general(
+                w_sel, prs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (2, 128)
+            if has_scales:
+                psum = psum * scales_ref[:, t * LANE : (t + 1) * LANE]
+            out_ref[2 * p, t * LANE : (t + 1) * LANE] = psum[0]
+            out_ref[2 * p + 1, t * LANE : (t + 1) * LANE] = psum[1]
+
+
+def _bitcast_quad_rows(x_i32: jax.Array, interpret: bool) -> jax.Array:
+    """(R, 128) int32 → (4R, 128) int8 with row 4r+j = byte j of row r
+    (little-endian; verified on hardware in exp/probe_int8.py).
+    Compiled: native Mosaic bitcast.  Interpret: emulate via lax bitcast."""
+    r = x_i32.shape[0]
+    if not interpret:
+        return pltpu.bitcast(x_i32, jnp.int8)
+    b = jax.lax.bitcast_convert_type(x_i32, jnp.int8)  # (R, 128, 4)
+    return jnp.stack([b[..., j] for j in range(4)], axis=1).reshape(4 * r, LANE)
+
+
+def _u8w(a: jax.Array) -> jax.Array:
+    """int8 → uint32 byte value (two's-complement bits preserved)."""
+    return a.astype(jnp.uint8).astype(jnp.uint32)
+
+
+def _pack_lut_i8_quad(lut_q: jax.Array) -> jax.Array:
+    """(B4, G, Kp) int8 LUTs → (B4/4·G, Kp) int32 words packing the entries
+    of tokens (4q .. 4q+3) in bytes 0..3: one gather serves FOUR tokens."""
+    w = (
+        _u8w(lut_q[0::4])
+        | (_u8w(lut_q[1::4]) << 8)
+        | (_u8w(lut_q[2::4]) << 16)
+        | (_u8w(lut_q[3::4]) << 24)
+    )
+    return w.astype(jnp.int32).reshape(-1, lut_q.shape[-1])
+
+
+def _pack_lut_i8_pair_lohi(lut_q: jax.Array) -> jax.Array:
+    """(B2, G, 2·LANE) int8 LUTs → (B2/2·G, LANE) int32 words for K=256:
+    bytes [tok0 k, tok1 k, tok0 k+128, tok1 k+128] — the kernel's varshift
+    by 16·bit7(idx) moves the selected half into bytes 0..1, so one gather
+    serves TWO tokens at K=256."""
+    lo0, hi0 = lut_q[0::2, :, :LANE], lut_q[0::2, :, LANE : 2 * LANE]
+    lo1, hi1 = lut_q[1::2, :, :LANE], lut_q[1::2, :, LANE : 2 * LANE]
+    w = _u8w(lo0) | (_u8w(lo1) << 8) | (_u8w(hi0) << 16) | (_u8w(hi1) << 24)
+    return w.astype(jnp.int32).reshape(-1, LANE)
+
+
+def _byte_row_selector(rows: int, n_out: int) -> jax.Array:
+    """(n_out, rows) int8 selector over bitcast byte rows: S[i, r] = 1 where
+    r % 4 == i — de-interleaves byte i of each word group on the int8 MXU
+    with int32 accumulation (zeroing unselected bytes for free)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_out, rows), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_out, rows), 0)
+    return jnp.where(r % 4 == i, 1, 0).astype(jnp.int8)
+
+
+def _gemv_kernel_i8(
+    lut_ref, codes_ref, scales_ref, out_ref, *, n_words, g, k, block_j,
+    has_scales, interpret,
+):
+    """Integer-accumulate variant: int8 LUT entries, int32 MXU accumulation.
+
+    The TPU materialization of the reference's int8-LUT design point
+    (lut_ctor.cc:232-260 dynamic int8 LUT quantization; tbl.cc:537-670
+    int8/int16/int32 accumulate variants; QuickerADC QuantizerMAX,
+    VecProductQuantizer.h:182-298): entries are dynamically range-quantized
+    to int8 per token, FOUR entries ride each 32-bit gather word
+    (4 tokens/gather at K ≤ 128; 2 tokens × 2 K-halves at K = 256 with the
+    varshift trick), and the byte-row selector accumulates on the int8 MXU
+    into exact int32 partial sums.  The per-token scale is applied by the
+    caller (one fused elementwise multiply).
+    """
+    tpw = 2 if k > LANE else 4  # tokens per word
+    sel = _byte_row_selector(4 * g, tpw)
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (g,128)
+        if k > LANE:
+            shamt = (idx >> 3) & 16
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+        else:
+            idx_g = idx
+        for p in range(n_words):
+            table = lut_ref[p * g : (p + 1) * g, :]
+            word = jnp.take_along_axis(table, idx_g, axis=1)
+            if k > LANE:
+                word = jax.lax.shift_right_logical(word, shamt)
+            rows = _bitcast_quad_rows(word, interpret)  # (4g, 128) int8
+            psum = jax.lax.dot_general(
+                sel, rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (tpw, 128) exact int32
+            psf = psum.astype(jnp.float32)
+            if has_scales:
+                psf = psf * scales_ref[:, t * LANE : (t + 1) * LANE]
+            for j in range(tpw):
+                out_ref[p * tpw + j, t * LANE : (t + 1) * LANE] = psf[j]
+
+
 def _gemv_kernel(
     lut_ref, codes_ref, scales_ref, out_ref, *, batch, g, k, block_j, has_scales,
     explicit_mod=False,
@@ -264,25 +482,35 @@ def _lut_gemv_packed(
     *,
     block_j: int,
     interpret: bool | None,
+    variant: str = "auto",
 ) -> jax.Array:
-    """Run the lookup kernel given prebuilt LUTs ``(B, G, Kp)``."""
+    """Run the lookup kernel given prebuilt LUTs ``(B, G, Kp)``.
+
+    variant: "auto" | "f32" | "pair" | "bpair" | "i8"
+      f32   — round-1 two-gather f32-table kernel (precision oracle)
+      pair  — bf16 (k, k+128)-pair words, one gather + varshift (B=1, K=256)
+      bpair — bf16 token-pair words, one gather serves two tokens (B ≥ 2)
+      i8    — int8 entries + int32 MXU accumulate, 4 tokens/gather at
+              K ≤ 128 (2 at K = 256); per-token dynamic range scale
+              (the reference's int8-LUT design point, lut_ctor.cc:232-260)
+    """
     interpret = resolve_interpret(interpret)
     batch = lut.shape[0]
     rows, d_out_pad = packed.codes_t.shape
     g_pad = 2 * rows if packed.nibbles else rows
     kp = lut.shape[-1]
-    if cfg.n_cluster > 2 * LANE:
+    k = cfg.n_cluster
+    if k > 2 * LANE:
         raise ValueError(
             f"lookup kernel supports K ≤ {2*LANE}; K={cfg.n_cluster} uses the "
             "dequant-matmul path (tpu_lutvq.kernels.dequant_mm)"
         )
+    variant = resolve_variant(variant, nibbles=packed.nibbles, batch=batch, k=k)
+
     lut3 = lut
     if lut.shape[1] != g_pad:  # pad G axis per batch entry
         lut3 = jnp.pad(lut, ((0, 0), (0, g_pad - lut.shape[1]), (0, 0)))
-    if packed.nibbles:
-        # per-batch row order [even groups ; odd groups] to match byte packing
-        lut3 = jnp.concatenate([lut3[:, 0::2], lut3[:, 1::2]], axis=1)
-    lut2 = lut3.reshape(batch * g_pad, kp)
+
     valid = _valid_width(packed)
     bj = _resolve_block(d_out_pad, block_j)
     scales = packed.scales
@@ -293,37 +521,87 @@ def _lut_gemv_packed(
     else:
         scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
 
-    if packed.nibbles:
+    out_batch = batch
+    if variant == "nibbles":
+        # per-batch row order [even groups ; odd groups] to match byte packing
+        lut3 = jnp.concatenate([lut3[:, 0::2], lut3[:, 1::2]], axis=1)
+        lut2 = lut3.reshape(batch * g_pad, kp)
+        tab_w = kp
         kern = functools.partial(
-            _gemv_kernel_nibbles,
-            batch=batch,
-            g=g_pad,
-            block_j=bj,
+            _gemv_kernel_nibbles, batch=batch, g=g_pad, block_j=bj,
             has_scales=has_scales,
+        )
+    elif variant == "pair":
+        lut2 = _pack_lut_pair_lohi(lut3)  # (B·g_pad, LANE) i32
+        tab_w = LANE
+        kern = functools.partial(
+            _gemv_kernel_pair, batch=batch, g=g_pad, block_j=bj,
+            has_scales=has_scales, interpret=interpret,
+        )
+    elif variant == "bpair":
+        if batch % 2:
+            lut3 = jnp.concatenate([lut3, jnp.zeros_like(lut3[:1])], axis=0)
+        pairs_n = lut3.shape[0] // 2
+        out_batch = 2 * pairs_n
+        lut2 = _pack_lut_pair_batch(lut3)  # (pairs·g_pad, Kp) i32
+        tab_w = kp
+        kern = functools.partial(
+            _gemv_kernel_bpair, pairs_n=pairs_n, g=g_pad, k=k, block_j=bj,
+            has_scales=has_scales, interpret=interpret,
+        )
+    elif variant == "i8":
+        from tpu_lutvq.kernels.lut_ctor import quantize_lut_int8
+
+        lut_q, lut_scale = quantize_lut_int8(lut3, axis=(1, 2))  # per token
+        tpw = 2 if k > LANE else 4
+        if batch % tpw:
+            pad = tpw - batch % tpw
+            lut_q = jnp.concatenate(
+                [lut_q, jnp.zeros((pad,) + lut_q.shape[1:], jnp.int8)], axis=0
+            )
+        n_words = lut_q.shape[0] // tpw
+        out_batch = tpw * n_words
+        if k > LANE:
+            lut2 = _pack_lut_i8_pair_lohi(lut_q)  # (n_words·g_pad, LANE) i32
+            tab_w = LANE
+        else:
+            lut2 = _pack_lut_i8_quad(lut_q)  # (n_words·g_pad, Kp) i32
+            tab_w = kp
+        kern = functools.partial(
+            _gemv_kernel_i8, n_words=n_words, g=g_pad, k=k, block_j=bj,
+            has_scales=has_scales, interpret=interpret,
+        )
+    elif variant == "f32":
+        lut2 = lut3.reshape(batch * g_pad, kp)
+        tab_w = kp
+        kern = functools.partial(
+            _gemv_kernel, batch=batch, g=g_pad, k=k, block_j=bj,
+            has_scales=has_scales, explicit_mod=interpret,
         )
     else:
-        kern = functools.partial(
-            _gemv_kernel,
-            batch=batch,
-            g=g_pad,
-            k=cfg.n_cluster,
-            block_j=bj,
-            has_scales=has_scales,
-            explicit_mod=interpret,
-        )
+        raise ValueError(f"unknown lut_gemv variant {variant!r}")
+
     out = pl.pallas_call(
         kern,
         grid=(d_out_pad // bj,),
         in_specs=[
-            pl.BlockSpec((batch * g_pad, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (lut2.shape[0], tab_w), lambda j: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((rows, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
             scale_spec,
         ],
-        out_specs=pl.BlockSpec((batch, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, d_out_pad), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (out_batch, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_batch, d_out_pad), jnp.float32),
         interpret=interpret,
     )(lut2, packed.codes_t, scales)
-    return out[:, :valid]
+    out = out[:batch, :valid]
+    if variant == "i8":
+        # per-token dynamic range scale (lut ≈ lut_q · s): one fused multiply
+        out = out * lut_scale[:batch, 0]
+    return out
 
 
 def lut_gemv(
@@ -333,11 +611,13 @@ def lut_gemv(
     *,
     block_j: int = DEFAULT_BLOCK_J,
     interpret: bool | None = None,
+    variant: str = "auto",
 ) -> jax.Array:
     """Fused LUT-VQ matmul: ``(B, d_in) → (B, d_out)`` float32.
 
     Streams codes once (VeLU dataflow); LUTs for up to ``MAX_LUT_BATCH``
     tokens are VMEM-resident per kernel launch, larger batches are chunked.
+    ``variant`` selects the lookup kernel (see ``_lut_gemv_packed``).
     """
     from tpu_lutvq.kernels.lut_ctor import resolve_interpret
 
@@ -346,8 +626,17 @@ def lut_gemv(
     outs = []
     for b0 in range(0, batch, MAX_LUT_BATCH):
         xb = x[b0 : b0 + MAX_LUT_BATCH]
-        lut = build_lut(cfg, packed.codebook, xb)  # (b, G, Kp) on MXU
+        v = resolve_variant(
+            variant, nibbles=packed.nibbles, batch=xb.shape[0], k=cfg.n_cluster
+        )
+        # bf16/int8-table variants build the LUT in bf16 (halves the
+        # codebook read — the dominant B=1 cost for per-subvector codebooks)
+        cdt = jnp.float32 if v in ("f32", "nibbles") else jnp.bfloat16
+        lut = build_lut(cfg, packed.codebook, xb, compute_dtype=cdt)  # MXU
         outs.append(
-            _lut_gemv_packed(cfg, packed, lut, block_j=block_j, interpret=interpret)
+            _lut_gemv_packed(
+                cfg, packed, lut, block_j=block_j, interpret=interpret,
+                variant=v,
+            )
         )
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

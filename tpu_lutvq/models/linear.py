@@ -60,8 +60,13 @@ class QuantizedLinear(NamedTuple):
         *,
         strategy: str = "auto",
         interpret: bool | None = None,
+        variant: str = "auto",
     ) -> jax.Array:
-        """x: (..., d_in) → (..., d_out) float32."""
+        """x: (..., d_in) → (..., d_out) float32.
+
+        ``variant`` selects the lookup-kernel flavor when the lut_gemv
+        strategy is taken ("auto" → bf16 pair kernels; "f32" for the exact
+        two-gather oracle; "i8" for integer accumulation)."""
         lead = x.shape[:-1]
         xb = x.reshape(-1, x.shape[-1])
         batch = xb.shape[0]
@@ -71,7 +76,7 @@ class QuantizedLinear(NamedTuple):
                 # only the lookup kernel understands the nibble-packed layout
                 strategy = "lut_gemv"
         if strategy == "lut_gemv":
-            y = lut_gemv(cfg, self.packed, xb, interpret=interpret)
+            y = lut_gemv(cfg, self.packed, xb, interpret=interpret, variant=variant)
         elif strategy == "dequant_mm":
             y = dequant_matmul(cfg, self.packed, xb, interpret=interpret)
         elif strategy == "dense_bf16":

@@ -73,6 +73,32 @@ def test_load_1x16_dequantizes_to_dense():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)  # bf16 storage
 
 
+def test_load_1x16_refit_serves_fused():
+    """one_x16='refit': a 1x16 checkpoint loads as a fused QuantizedLinear
+    (2x8 re-fit) with NO dense bf16 weight materialization — code storage at
+    the 1x16 codes floor (2 bytes per group of 8 weights).  VERDICT item 4;
+    ref: code1x16_matmat (benchmark_rq_gemm_gpu.py:103-105)."""
+    rng = np.random.RandomState(4)
+    d_in, d_out = 32, 64
+    tensors, codes_u = synth_aqlm_tensors("proj", d_in, d_out, 8, 1, 65536, rng,
+                                          np.int16)
+    layer, cfg = load_aqlm_linear(tensors, "proj", one_x16="refit")
+    assert isinstance(layer, QuantizedLinear)
+    assert cfg.n_cluster == 256 and cfg.n_codebook == 2  # the 2x8 refit cfg
+    # code bytes parity with the original 1x16 layout: G*d_out u8 == m*d_out u16
+    assert layer.packed.codes_t.dtype == jnp.uint8
+    assert cfg.n_groups * d_out == 2 * codes_u[..., 0].size
+    # forward runs through the fused kernel and tracks the exact dequant
+    w_exact = numpy_dequant(tensors, "proj", codes_u)
+    x = np.random.RandomState(5).randn(2, d_in).astype(np.float32)
+    got = np.asarray(layer.apply(cfg, jnp.asarray(x), strategy="lut_gemv",
+                                 interpret=True))
+    want = x @ w_exact.T
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.9, rel  # refit of random-codebook content: bounded
+    assert np.all(np.isfinite(got))
+
+
 def test_int16_negative_codes_bitcast():
     """int16 code -1 must decode as 65535, not crash or clamp."""
     rng = np.random.RandomState(2)

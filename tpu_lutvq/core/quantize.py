@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_lutvq.ann.kmeans import kmeans
 from tpu_lutvq.core.config import VQConfig
@@ -43,26 +44,45 @@ def fit_vq(
     iters: int = 8,
     kmeans_iters: int = 15,
     with_scales: bool = True,
+    init_codes: jax.Array | None = None,
 ) -> VQParams:
     """Quantize ``w (d_out, d_in)`` into codes + codebooks under ``cfg``.
 
     Only shared codebooks are fitted (AQLM semantics); per-subvector
     codebooks reduce to running this per subvector.
+
+    ``init_codes (d_out·M, N)`` warm-starts the alternating loop from a
+    given assignment (codebooks solved as conditional means) instead of the
+    residual-kmeans init — used by the 1x16→2x8 refit, where the hi/lo bytes
+    of the original 16-bit codes are an exact init whenever the 1x16
+    codebook happens to be additively decomposable.
     """
     d_out, d_in = w.shape
     assert d_in == cfg.d_in, (d_in, cfg.d_in)
     m, n, k, g = cfg.n_subvec, cfg.n_codebook, cfg.n_cluster, cfg.d_subvec
     x = w.astype(jnp.float32).reshape(d_out * m, g)  # subvector samples
 
-    # 1. residual-quantization init
     cbs = []
     codes = []
-    resid = x
-    for nn in range(n):
-        cb, a = kmeans(jax.random.fold_in(key, nn), resid, k, kmeans_iters)
-        cbs.append(cb)
-        codes.append(a)
-        resid = resid - cb[a]
+    if init_codes is not None:
+        # 1'. warm start: solve each codebook as conditional means of the
+        # residual target under the fixed given assignments
+        codes = [init_codes[:, nn].astype(jnp.int32) for nn in range(n)]
+        cbs = [jnp.zeros((k, g), jnp.float32) for _ in range(n)]
+        for nn in range(n):
+            others = sum(
+                (cbs[j][codes[j]] for j in range(n) if j != nn),
+                jnp.zeros_like(x),
+            )
+            cbs[nn] = _update_codebook(x - others, codes[nn], k)
+    else:
+        # 1. residual-quantization init
+        resid = x
+        for nn in range(n):
+            cb, a = kmeans(jax.random.fold_in(key, nn), resid, k, kmeans_iters)
+            cbs.append(cb)
+            codes.append(a)
+            resid = resid - cb[a]
 
     # 2. alternating refinement
     for it in range(iters):
@@ -88,6 +108,54 @@ def fit_vq(
 
     # codebook is (1, N, K, g); broadcast_codebook expands it for any cfg
     return VQParams(codebook=codebook, codes=codes_arr, scales=scales)
+
+
+def refit_to_2x8(
+    key: jax.Array,
+    w: jax.Array,
+    codes_1x16: jax.Array | None = None,
+    group: int = 8,
+    iters: int = 8,
+) -> tuple[VQConfig, VQParams, float]:
+    """Re-fit a (dequantized) weight matrix to the AQLM **2x8** scheme.
+
+    The fused-serving answer to 1x16 checkpoints on TPU: a 65536-entry
+    codebook cannot be gathered on the VPU (lane-gather tables are 128 wide,
+    SURVEY.md §7), and a 65536-entry per-token LUT would cost ~128 MB of
+    VMEM per token — so instead of dequantizing to dense bf16 (round-1
+    behavior, forfeiting the 8× memory win) the layer is re-expressed in
+    the 2x8 scheme the fused kernels serve natively.  Code storage is
+    identical (2 bytes per group of 8 weights); quality delta is returned
+    as the relative Frobenius error and logged by the loader.
+
+    Two inits are tried and the lower-error fit kept:
+    - residual kmeans (generic ``fit_vq`` path), and
+    - the hi/lo **bytes of the original 16-bit codes** as fixed initial
+      assignments (exact whenever the 1x16 codebook is additively
+      decomposable as ``C[k] = C_hi[k>>8] + C_lo[k&255]``).
+
+    Reference parity: the CUDA path serves 1x16 via
+    ``CUDA_KERNEL.code1x16_matmat`` (benchmark_rq_gemm_gpu.py:103-105);
+    this is the TPU-native equivalent capability.
+    """
+    from tpu_lutvq.core.config import aqlm_2x8
+
+    d_out, d_in = w.shape
+    cfg2 = aqlm_2x8(d_in, group=group, shared_codebook=True)
+
+    candidates = [fit_vq(key, w, cfg2, iters=iters)]
+    if codes_1x16 is not None:
+        split = jnp.stack(
+            [
+                (codes_1x16.reshape(-1).astype(jnp.int32) >> 8) & 0xFF,
+                codes_1x16.reshape(-1).astype(jnp.int32) & 0xFF,
+            ],
+            axis=-1,
+        )
+        candidates.append(fit_vq(key, w, cfg2, iters=iters, init_codes=split))
+    errs = [quantization_error(cfg2, p, w) for p in candidates]
+    best = int(np.argmin(errs)) if len(errs) > 1 else 0
+    return cfg2, candidates[best], errs[best]
 
 
 def quantization_error(cfg: VQConfig, params: VQParams, w: jax.Array) -> float:

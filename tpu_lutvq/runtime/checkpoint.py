@@ -15,9 +15,11 @@ Mapping to our ``VQConfig``: M = in_features/g, N = num_codebooks,
 K = codebook_size, shared_codebook=True (AQLM codebooks are layer-wide).
 
 - K ≤ 256 (e.g. 2x8): → ``QuantizedLinear`` running the fused LUT kernels.
-- K = 65536 (1x16): gather is table-width-limited on TPU (SURVEY.md §7), so
-  the layer is dequantized **at load time** (pure lookup, bit-exact per the
-  reference's semantics, vq.py:269-278) to a bf16 ``DenseLinear``.
+- K = 65536 (1x16): gather is table-width-limited on TPU (SURVEY.md §7);
+  either dequantized **at load time** (bit-exact per the reference's
+  semantics, vq.py:269-278) to a bf16 ``DenseLinear`` (``one_x16="dequant"``)
+  or **re-fit to 2x8** and served fused at the same code-byte footprint
+  (``one_x16="refit"``, see ``core.quantize.refit_to_2x8``).
 
 Dequantized-vs-AQLM parity is exact by construction: the same gather+sum
 over fp16 codebook rows (tests build synthetic checkpoints in the exact HF
@@ -105,9 +107,17 @@ def load_aqlm_linear(
     tensors: dict[str, np.ndarray],
     prefix: str,
     dequant_threshold_k: int = 256,
+    one_x16: str = "dequant",
 ) -> tuple[Union[QuantizedLinear, DenseLinear], Optional[VQConfig]]:
-    """One projection: → QuantizedLinear (K ≤ threshold) or load-time
-    dequantized DenseLinear (1x16 etc.)."""
+    """One projection: → QuantizedLinear (K ≤ threshold) or, for wide-code
+    schemes (1x16 etc.), per ``one_x16``:
+
+    - ``"dequant"`` — bit-exact load-time dequant to a bf16 ``DenseLinear``
+      (no fused serving; 8× more weight memory).
+    - ``"refit"`` — re-fit to 2x8 (``core.quantize.refit_to_2x8``) and serve
+      fused at the same code-byte footprint; the returned cfg is the 2x8
+      config and the quality delta is logged.
+    """
     codes = _unsigned_codes(tensors[f"{prefix}.codes"])
     codebooks = tensors[f"{prefix}.codebooks"]
     scales = tensors.get(f"{prefix}.scales")
@@ -128,12 +138,31 @@ def load_aqlm_linear(
         )
         return QuantizedLinear(packed=pack_params(cfg, params)), cfg
 
-    # 1x16 path: bit-exact load-time dequant (gather + additive sum, scales
-    # after — identical to AQLM's _dequantize_weight).  Runs through the
-    # native host library when built (csrc/lutvq_pack.cpp), NumPy otherwise.
+    # 1x16 path: exact dequant first (gather + additive sum, scales after —
+    # identical to AQLM's _dequantize_weight).  Runs through the native host
+    # library when built (csrc/lutvq_pack.cpp), NumPy otherwise.
     from tpu_lutvq.utils.native import dequant_additive
 
     w = dequant_additive(codes.astype(np.int64), cb[0].astype(np.float32), sc)
+
+    if one_x16 == "refit":
+        import logging
+
+        from tpu_lutvq.core.quantize import refit_to_2x8
+
+        codes16 = codes[..., 0] if cfg.n_codebook == 1 else None
+        cfg2, params2, err = refit_to_2x8(
+            jax.random.PRNGKey(abs(hash(prefix)) % (2**31)),
+            jnp.asarray(w, jnp.float32),
+            codes_1x16=None if codes16 is None else jnp.asarray(codes16),
+            group=cfg.d_subvec,
+        )
+        logging.getLogger(__name__).info(
+            "refit %s: K=%d -> 2x8, rel err %.4f", prefix, cfg.n_cluster, err
+        )
+        return QuantizedLinear(packed=pack_params(cfg2, params2)), cfg2
+    if one_x16 != "dequant":
+        raise ValueError(f"unknown one_x16 mode {one_x16!r}")
     return DenseLinear(w=jnp.asarray(w, jnp.bfloat16)), cfg
 
 
@@ -141,8 +170,14 @@ def load_aqlm_llama(
     path_or_tensors: Union[str, dict[str, np.ndarray]],
     cfg: LlamaConfig,
     dequant_threshold_k: int = 256,
+    one_x16: str = "dequant",
 ) -> LlamaWeights:
-    """Full Llama: HF AQLM checkpoint → LlamaWeights pytree."""
+    """Full Llama: HF AQLM checkpoint → LlamaWeights pytree.
+
+    ``one_x16="refit"`` serves 1x16 checkpoints fused (see
+    :func:`load_aqlm_linear`); the refit 2x8 config equals
+    ``LlamaConfig.vq_cfg`` so the model path needs no changes.
+    """
     tensors = (
         open_checkpoint(path_or_tensors)
         if isinstance(path_or_tensors, str)
@@ -158,7 +193,7 @@ def load_aqlm_llama(
         fields = {}
         for field, proj in PROJ_NAMES.items():
             layer, _ = load_aqlm_linear(
-                tensors, f"{base}.{proj}", dequant_threshold_k
+                tensors, f"{base}.{proj}", dequant_threshold_k, one_x16=one_x16
             )
             fields[field] = layer
         layers.append(

@@ -34,13 +34,18 @@ def model():
     return cfg, weights
 
 
+@pytest.mark.parametrize("collective", ["psum", "ring"])
 @pytest.mark.parametrize("strategy", ["dequant_mm", "lut_gemv"])
 @pytest.mark.parametrize("tp", [2, 4])
-def test_tp_decode_matches_single_device(model, tp, strategy):
+def test_tp_decode_matches_single_device(model, tp, strategy, collective):
     cfg, weights = model
+    if collective == "ring" and (cfg.hidden // tp) % 128:
+        pytest.skip("ring chunks must be lane-aligned (hidden/tp % 128 == 0)")
     mesh = make_tp_mesh(tp)
     sharded = shard_llama_tp(cfg, weights, mesh)
-    step = make_tp_decode_step(cfg, mesh, strategy=strategy, interpret=True)
+    step = make_tp_decode_step(
+        cfg, mesh, strategy=strategy, interpret=True, collective=collective
+    )
 
     batch = 2
     tokens = jnp.asarray([5, 9], jnp.int32)
@@ -54,9 +59,12 @@ def test_tp_decode_matches_single_device(model, tp, strategy):
     )
     # psum reduction order differs from single-device summation; through the
     # int8 KV quantizer a boundary value can flip one count, and per-shard
-    # LUTs quantize to bf16 independently under the pair kernels → 2e-2
+    # LUTs quantize to bf16 independently under the pair kernels → 2e-2.
+    # ring+dequant_mm is a cross-kernel comparison (row layers run the ring's
+    # bf16 lookup kernel, the reference runs bf16x2 dequant) → 5e-2.
+    tol = 5e-2 if collective == "ring" and strategy == "dequant_mm" else 2e-2
     np.testing.assert_allclose(
-        np.asarray(logits_tp), np.asarray(logits_1), rtol=2e-2, atol=2e-2
+        np.asarray(logits_tp), np.asarray(logits_1), rtol=tol, atol=tol
     )
     # caches must agree too (concatenated over the head shards)
     k_tp = np.asarray(jax.device_get(caches_tp[0].k_q))

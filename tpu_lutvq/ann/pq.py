@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from tpu_lutvq.ann.kmeans import kmeans
 from tpu_lutvq.core.config import VQConfig
 from tpu_lutvq.core.params import VQParams
-from tpu_lutvq.kernels import pack_params, quantize_lut_int8
+from tpu_lutvq.kernels import pack_params
 from tpu_lutvq.kernels.lut_ctor import LANE
 
 
@@ -99,26 +99,44 @@ class ProductQuantizer:
         metric: str = "l2",
         table_dtype: str = "f32",
         interpret: bool | None = None,
+        refine_groups: Optional[int] = None,
+        shortlist: Optional[int] = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Scan the encoded database and return (values, indices) of the
         top-k nearest (metric="l2") or highest-scoring (metric="ip").
 
-        table_dtype="int8" runs the QuantizerMAX-style dynamically-quantized
-        scan (:182-298): tables are range-quantized to int8 per query, scores
-        accumulate in int, and are rescaled — trading ≤0.4% score error for
-        table memory (the TPU analog of the int8 in-register scan).
+        table_dtype="int8" runs the scan genuinely quantized ON DEVICE: the
+        tables are dynamically range-quantized to int8 per query inside the
+        kernel, FOUR entries ride each 32-bit gather word, and scores
+        accumulate exactly in int32 on the int8 MXU before one rescale —
+        the QuantizerMAX design point (VecProductQuantizer.h:182-298)
+        executed natively, not simulated.
+
+        ``refine_groups=m0`` enables bound-based work skipping, TPU-style
+        (the capability behind the reference's heap-bound pruning,
+        VecProductQuantizer.h:1150-1152,1243-1252): a cheap partial scan
+        over the first ``m0`` subquantizers shortlists ``shortlist``
+        candidates (for L2 the partial sum is a monotone lower bound — the
+        same property the scalar heap prune exploits), then only the
+        shortlist is scored exactly.  Scalar per-code early-exit stalls an
+        SPMD chip (one lane branching ≠ work saved), so the skipped work is
+        organized as whole scan phases instead: ``n·(m0/M) + R·M`` lookups
+        versus ``n·M``.
         """
         n = codes.shape[0]
         tables = self.l2_tables(queries) if metric == "l2" else self.ip_tables(queries)
-        if table_dtype == "int8":
-            q, scale = quantize_lut_int8(tables)  # per (query, m) scale
-            # common scale per query so the sum stays linear: requantize
-            qscale = jnp.max(scale, axis=(1, 2), keepdims=True)
-            q = jnp.clip(
-                jnp.round(tables / qscale), -127, 127
+        variant = "i8" if table_dtype == "int8" else "auto"
+        if refine_groups is not None and refine_groups < self.m:
+            return _search_refined(
+                self.cfg, tables, codes, topk, metric,
+                m0=refine_groups,
+                shortlist=shortlist or max(4 * topk, 32),
+                interpret=interpret,
+                variant=variant,
             )
-            tables = q * qscale  # dequantized int8 grid, exact linear sum
-        scores = _scan_codes(self.cfg, tables, codes, interpret=interpret)  # (q, n)
+        scores = _scan_codes(
+            self.cfg, tables, codes, interpret=interpret, variant=variant
+        )  # (q, n)
         if metric == "l2":
             vals, idx = jax.lax.top_k(-scores, topk)
             return -vals, idx
@@ -126,10 +144,17 @@ class ProductQuantizer:
 
 
 def _scan_codes(
-    cfg: VQConfig, tables: jax.Array, codes: jax.Array, interpret: bool | None = None
+    cfg: VQConfig,
+    tables: jax.Array,
+    codes: jax.Array,
+    interpret: bool | None = None,
+    variant: str = "auto",
 ) -> jax.Array:
     """Score all database codes against per-query tables using the fused
-    lookup-accumulate kernel (scores[q, i] = Σ_m tables[q, m, codes[i, m]])."""
+    lookup-accumulate kernel (scores[q, i] = Σ_m tables[q, m, codes[i, m]]).
+
+    variant="i8" runs the int8-quantized integer-accumulate kernel (the
+    device realization of the reference's int8 table scan)."""
     n = codes.shape[0]
     params = VQParams(
         codebook=jnp.zeros((1, 1, 1, 1), jnp.float32),  # unused: tables given
@@ -147,10 +172,59 @@ def _scan_codes(
     for q0 in range(0, lut.shape[0], 8):
         outs.append(
             _lut_gemv_packed(
-                cfg, packed, lut[q0 : q0 + 8], block_j=1024, interpret=interpret
+                cfg, packed, lut[q0 : q0 + 8], block_j=1024, interpret=interpret,
+                variant=variant,
             )
         )
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _search_refined(
+    cfg: VQConfig,
+    tables: jax.Array,  # (q, M, K) full tables
+    codes: jax.Array,  # (n, M)
+    topk: int,
+    metric: str,
+    *,
+    m0: int,
+    shortlist: int,
+    interpret: bool | None,
+    variant: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Two-phase scan: partial-group shortlist, exact refine.
+
+    Phase 1 scans only the first ``m0`` of M subquantizers (for L2 each
+    group term is ≥ 0, so the partial distance is a monotone LOWER bound on
+    the full distance — candidates whose bound already exceeds the bracket
+    cannot enter the top-k, exactly the invariant behind the reference's
+    per-code heap prune).  Phase 2 gathers the ``shortlist`` best bounds
+    and scores ONLY those exactly (XLA gather — the candidate set is tiny).
+    """
+    q, n = tables.shape[0], codes.shape[0]
+    dsub = cfg.d_subvec
+    sub_cfg = VQConfig(m0 * dsub, m0, cfg.n_codebook, cfg.n_cluster)
+    partial = _scan_codes(
+        sub_cfg, tables[:, :m0], codes[:, :m0], interpret=interpret,
+        variant=variant,
+    )  # (q, n) lower bounds (L2) / partial scores (IP)
+    r = min(shortlist, n)
+    if metric == "l2":
+        _, cand = jax.lax.top_k(-partial, r)  # smallest lower bounds
+    else:
+        _, cand = jax.lax.top_k(partial, r)
+    # exact rescoring of the shortlist: (q, r, M) table lookups via XLA
+    cand_codes = codes.astype(jnp.int32)[cand]  # (q, r, M)
+    m_idx = jnp.arange(cfg.n_subvec)[None, None, :]
+    q_idx = jnp.arange(q)[:, None, None]
+    exact = jnp.sum(tables[q_idx, m_idx, cand_codes], axis=-1)  # (q, r)
+    kk = min(topk, r)
+    if metric == "l2":
+        vals, pos = jax.lax.top_k(-exact, kk)
+        vals = -vals
+    else:
+        vals, pos = jax.lax.top_k(exact, kk)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    return vals, idx
 
 
 @dataclasses.dataclass

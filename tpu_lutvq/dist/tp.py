@@ -228,9 +228,13 @@ def make_tp_decode_step(
     axis: str = "tp",
     strategy: str = "auto",
     interpret: bool | None = None,
+    collective: str = "psum",
 ):
     """Jitted SPMD decode step: (weights, tokens (B,), caches, pos) →
-    (logits (B, vocab), caches)."""
+    (logits (B, vocab), caches).
+
+    ``collective="ring"`` overlaps the row-parallel reductions with the
+    per-chunk LUT kernels (dist/collective.py) instead of blocking psums."""
     tp = mesh.shape[axis]
     local_cfg = local_tp_config(cfg, tp)
 
@@ -244,6 +248,8 @@ def make_tp_decode_step(
             strategy=strategy,
             interpret=interpret,
             axis_name=axis,
+            collective=collective,
+            axis_size=tp,
         )
 
     def build_in_specs(weights):

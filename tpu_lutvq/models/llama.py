@@ -260,12 +260,34 @@ def _block(
     axis_name: Optional[str] = None,  # TP mesh axis: psum row-parallel outputs
     window: Optional[int] = None,  # static cache prefix to attend over
     attn: str = "xla",
+    collective: str = "psum",  # "psum" (blocking) | "ring" (overlapped)
+    axis_size: Optional[int] = None,  # static TP degree (required for "ring")
 ) -> tuple[jax.Array, KVCache]:
     b, t, h = x.shape
     vq_h = cfg.vq_cfg(cfg.hidden)
     vq_o = cfg.vq_cfg(cfg.q_dim)  # == vq_h unless heads are TP-sharded
     vq_f = cfg.vq_cfg(cfg.ffn)
     kw = dict(strategy=strategy, interpret=interpret)
+
+    def row_parallel(layer, vq_cfg_local, y):
+        """Row-parallel epilogue: compute-then-psum, or the ring-overlapped
+        reduce-scatter/all-gather collective matmul (dist/collective.py) in
+        which each output chunk's partial LUT-GEMV overlaps the in-flight
+        ppermute of the previous chunk (VERDICT r1 item 6)."""
+        if axis_name is None:
+            return layer.apply(vq_cfg_local, y, **kw)
+        if collective == "ring" and isinstance(layer, QuantizedLinear):
+            if axis_size is None:
+                raise ValueError("collective='ring' needs static axis_size")
+            from tpu_lutvq.dist.collective import overlapped_row_parallel_gemv
+
+            y2 = y.reshape(-1, y.shape[-1])
+            out = overlapped_row_parallel_gemv(
+                vq_cfg_local, layer.packed, y2, axis_name, axis_size,
+                interpret=interpret,
+            )
+            return out.reshape(*y.shape[:-1], out.shape[-1])
+        return jax.lax.psum(layer.apply(vq_cfg_local, y, **kw), axis_name)
 
     xn = rms_norm(x, lw.attn_norm, cfg.rms_eps)
     q = lw.wq.apply(vq_h, xn, **kw).reshape(b, t, cfg.n_heads, cfg.head_dim)
@@ -276,18 +298,12 @@ def _block(
     k = rope(k, tpos, cfg.rope_theta)
     cache = update_cache(cache, k, v, pos)
     attn_out_raw = _attention(cfg, q, cache, pos, window, attn, interpret)
-    attn_out = lw.wo.apply(vq_o, attn_out_raw, **kw)
-    if axis_name is not None:  # row-parallel over head shards
-        attn_out = jax.lax.psum(attn_out, axis_name)
-    x = x + attn_out
+    x = x + row_parallel(lw.wo, vq_o, attn_out_raw)
 
     xn = rms_norm(x, lw.mlp_norm, cfg.rms_eps)
     gate = lw.w_gate.apply(vq_h, xn, **kw)
     up = lw.w_up.apply(vq_h, xn, **kw)
-    mlp_out = lw.w_down.apply(vq_f, jax.nn.silu(gate) * up, **kw)
-    if axis_name is not None:  # row-parallel over ffn shards
-        mlp_out = jax.lax.psum(mlp_out, axis_name)
-    x = x + mlp_out
+    x = x + row_parallel(lw.w_down, vq_f, jax.nn.silu(gate) * up)
     return x, cache
 
 
@@ -322,8 +338,14 @@ def llama_forward(
     axis_name: Optional[str] = None,
     window: Optional[int] = None,
     attn: str = "xla",
+    collective: str = "psum",
+    axis_size: Optional[int] = None,
 ):
     """Forward pass over T new tokens at absolute position(s) ``pos``.
+
+    ``collective="ring"`` (with static ``axis_size``) runs the row-parallel
+    projections through the overlapped reduce-scatter/all-gather ring
+    (dist/collective.py) instead of compute-then-psum.
 
     ``window`` (static) bounds the cache prefix attention reads — the
     length-bucketing hook: recompile per bucket, blocks past the bucket are
@@ -365,7 +387,7 @@ def llama_forward(
             )
             x, cache_i = _block(
                 cfg, lw, x, cache_i, pos, strategy, interpret, axis_name,
-                window, attn,
+                window, attn, collective, axis_size,
             )
             caches_all = jax.tree.map(
                 lambda c, nc: jax.lax.dynamic_update_index_in_dim(c, nc, li, 0),
@@ -382,7 +404,7 @@ def llama_forward(
         for lw, cache in zip(weights.layers, caches):
             x, cache = _block(
                 cfg, lw, x, cache, pos, strategy, interpret, axis_name,
-                window, attn,
+                window, attn, collective, axis_size,
             )
             new_caches.append(cache)
         new_caches = tuple(new_caches)

@@ -1,0 +1,38 @@
+"""Regenerate tests/fixtures/golden_logits.npz (run manually on CPU).
+
+Pins cross-round numerics (VERDICT r1 item 10): a fixed-seed tiny model's
+forward logits through the exact (f32-variant) kernel path.  Any kernel or
+model change that shifts these beyond float tolerance is a regression the
+suite catches mechanically — perplexity self-parity alone cannot (real-
+checkpoint AQLM perplexity is network-blocked in this environment).
+
+Usage:  env -u PYTHONPATH JAX_PLATFORMS=cpu python tests/make_golden_fixture.py
+"""
+import os
+
+import numpy as np
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_lutvq.models import LlamaConfig, init_llama
+    from tpu_lutvq.models.llama import init_caches, llama_forward
+
+    cfg = LlamaConfig.tiny(n_layers=2, hidden=128, ffn=256, n_heads=4,
+                           n_kv_heads=2, vocab_size=64, max_seq=16)
+    weights = init_llama(jax.random.PRNGKey(42), cfg, dtype=jnp.float32)
+    tokens = jnp.asarray([[1, 7, 3, 11, 5]], jnp.int32)
+    logits, _ = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, 1), jnp.int32(0),
+        strategy="lut_gemv", interpret=True, variant="f32",
+    )
+    return np.asarray(logits)
+
+
+if __name__ == "__main__":
+    out = os.path.join(os.path.dirname(__file__), "fixtures", "golden_logits.npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez_compressed(out, logits=build())
+    print("wrote", out)

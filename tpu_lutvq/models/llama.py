@@ -262,12 +262,13 @@ def _block(
     attn: str = "xla",
     collective: str = "psum",  # "psum" (blocking) | "ring" (overlapped)
     axis_size: Optional[int] = None,  # static TP degree (required for "ring")
+    variant: str = "auto",  # lookup-kernel flavor (QuantizedLinear.apply)
 ) -> tuple[jax.Array, KVCache]:
     b, t, h = x.shape
     vq_h = cfg.vq_cfg(cfg.hidden)
     vq_o = cfg.vq_cfg(cfg.q_dim)  # == vq_h unless heads are TP-sharded
     vq_f = cfg.vq_cfg(cfg.ffn)
-    kw = dict(strategy=strategy, interpret=interpret)
+    kw = dict(strategy=strategy, interpret=interpret, variant=variant)
 
     def row_parallel(layer, vq_cfg_local, y):
         """Row-parallel epilogue: compute-then-psum, or the ring-overlapped
@@ -340,6 +341,7 @@ def llama_forward(
     attn: str = "xla",
     collective: str = "psum",
     axis_size: Optional[int] = None,
+    variant: str = "auto",
 ):
     """Forward pass over T new tokens at absolute position(s) ``pos``.
 
@@ -387,7 +389,7 @@ def llama_forward(
             )
             x, cache_i = _block(
                 cfg, lw, x, cache_i, pos, strategy, interpret, axis_name,
-                window, attn, collective, axis_size,
+                window, attn, collective, axis_size, variant,
             )
             caches_all = jax.tree.map(
                 lambda c, nc: jax.lax.dynamic_update_index_in_dim(c, nc, li, 0),
@@ -404,7 +406,7 @@ def llama_forward(
         for lw, cache in zip(weights.layers, caches):
             x, cache = _block(
                 cfg, lw, x, cache, pos, strategy, interpret, axis_name,
-                window, attn, collective, axis_size,
+                window, attn, collective, axis_size, variant,
             )
             new_caches.append(cache)
         new_caches = tuple(new_caches)

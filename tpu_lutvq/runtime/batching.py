@@ -30,7 +30,7 @@ from tpu_lutvq.models.llama import (
     llama_decode_step,
     llama_forward,
 )
-from tpu_lutvq.runtime.generate import sample_logits
+from tpu_lutvq.runtime.generate import sample_logits, sample_logits_vec
 
 
 @dataclasses.dataclass
@@ -82,6 +82,53 @@ class ContinuousBatcher:
                 llama_decode_step, cfg, strategy=strategy, interpret=interpret
             )
         )
+        self._sample = jax.jit(sample_logits_vec)
+        # fused admission (default device programs only): B=1 prefill +
+        # per-layer slot scatter + first-token sample in ONE dispatch.  The
+        # unfused route paid one dispatch per layer for the cache scatter —
+        # ~n_layers x 35 ms of tunnel RTT per admission.
+        self._admit_fused = None
+        if prefill_fn is None and cache_factory is init_caches:
+            raw_prefill = functools.partial(
+                llama_forward, cfg, strategy=strategy, interpret=interpret
+            )
+
+            def admit_one(weights, prompt, caches, slot, temp, key):
+                small = init_caches(cfg, 1)
+                logits, small = raw_prefill(weights, prompt, small, jnp.int32(0))
+                caches = tuple(
+                    write_cache_slot(big, s, slot)
+                    for big, s in zip(caches, small)
+                )
+                tok = sample_logits_vec(logits[:, -1], key, temp[None])
+                return tok[0], caches
+
+            self._admit_fused = jax.jit(admit_one, donate_argnums=(2,))
+        # multi-step horizon roll (default device programs only): ``horizon``
+        # decode steps + on-device sampling fused in ONE dispatch via
+        # lax.scan — through the ~35 ms tunnel a horizon of 8 cuts host
+        # round-trips 8x (tokens decoded past a slot's EOS are truncated on
+        # the host; the stale cache rows are masked by the causal qpos mask)
+        self._roll = None
+        if step_fn is None:
+            raw_step = functools.partial(
+                llama_decode_step, cfg, strategy=strategy, interpret=interpret
+            )
+
+            def roll(weights, tokens, caches, pos, temps, key, horizon):
+                def body(carry, _):
+                    tok, caches, pos, key = carry
+                    logits, caches = raw_step(weights, tok, caches, pos)
+                    key, sub = jax.random.split(key)
+                    nxt = sample_logits_vec(logits, sub, temps)
+                    return (nxt, caches, pos + 1, key), nxt
+
+                (_, caches, _, _), toks = jax.lax.scan(
+                    body, (tokens, caches, pos, key), None, length=horizon
+                )
+                return toks, caches  # toks: (horizon, B)
+
+            self._roll = jax.jit(roll, static_argnames=("horizon",))
         self.completed: list[Request] = []
 
     # -- public API --
@@ -95,10 +142,10 @@ class ContinuousBatcher:
     def has_work(self) -> bool:
         return bool(self.pending) or any(r is not None for r in self.active)
 
-    def run(self, max_steps: int = 100000) -> list[Request]:
+    def run(self, max_steps: int = 100000, horizon: int = 1) -> list[Request]:
         steps = 0
         while self.has_work and steps < max_steps:
-            self.step()
+            self.step(horizon=horizon)
             steps += 1
         done, self.completed = self.completed, []
         return done
@@ -111,15 +158,23 @@ class ContinuousBatcher:
                 continue
             req = self.pending.pop(0)
             prompt = jnp.asarray([req.prompt], jnp.int32)  # (1, T0)
-            small = self._cache_factory(self.cfg, 1)
-            logits, small = self._prefill(
-                self.weights, prompt, small, jnp.int32(0)
-            )
-            self.caches = tuple(
-                write_cache_slot(big, s, slot) for big, s in zip(self.caches, small)
-            )
             self.key, sub = jax.random.split(self.key)
-            tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
+            if self._admit_fused is not None:
+                tok_dev, self.caches = self._admit_fused(
+                    self.weights, prompt, self.caches, jnp.int32(slot),
+                    jnp.float32(req.temperature), sub,
+                )
+                tok = int(tok_dev)
+            else:  # injected device programs (TP): unfused admission
+                small = self._cache_factory(self.cfg, 1)
+                logits, small = self._prefill(
+                    self.weights, prompt, small, jnp.int32(0)
+                )
+                self.caches = tuple(
+                    write_cache_slot(big, s, slot)
+                    for big, s in zip(self.caches, small)
+                )
+                tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
             req.output.append(tok)
             self._maybe_finish(req, slot_len=len(req.prompt) + 1)
             if not req.done:
@@ -136,7 +191,10 @@ class ContinuousBatcher:
         if slot_len >= self.cfg.max_seq:
             req.done = True
 
-    def step(self) -> None:
+    def step(self, horizon: int = 1) -> None:
+        """One scheduler tick: admit, then decode ``horizon`` tokens for every
+        active slot in a single device dispatch (per-slot temperatures sampled
+        ON DEVICE; exactly one host fetch per tick)."""
         self._admit()
         slots = [i for i, r in enumerate(self.active) if r is not None]
         if not slots:
@@ -144,25 +202,40 @@ class ContinuousBatcher:
         # batched decode over all slots; inactive slots decode garbage at pos 0
         tokens = np.zeros(self.n_slots, np.int32)
         pos = np.zeros(self.n_slots, np.int32)
+        temps = np.zeros(self.n_slots, np.float32)
         for i in slots:
             tokens[i] = self.active[i].output[-1]
             pos[i] = self.slot_pos[i] - 1  # position of the token being fed
-        logits, self.caches = self._step(
-            self.weights,
-            jnp.asarray(tokens),
-            self.caches,
-            jnp.asarray(pos),
-        )
+            temps[i] = self.active[i].temperature
         self.key, sub = jax.random.split(self.key)
-        # per-slot sampling (temperature can differ per request)
+        # a horizon roll must never write cache rows past max_seq; near the
+        # end of any active sequence, fall back to single-step (keeps the
+        # compiled-program set at {1, horizon} instead of one per residue)
+        if horizon > 1 and any(
+            int(self.slot_pos[i]) - 1 + horizon > self.cfg.max_seq for i in slots
+        ):
+            horizon = 1
+        if horizon > 1 and self._roll is not None:
+            toks, self.caches = self._roll(
+                self.weights, jnp.asarray(tokens), self.caches, jnp.asarray(pos),
+                jnp.asarray(temps), sub, horizon=horizon,
+            )
+            toks = np.asarray(jax.device_get(toks))  # (horizon, B) — one fetch
+        else:
+            logits, self.caches = self._step(
+                self.weights, jnp.asarray(tokens), self.caches, jnp.asarray(pos)
+            )
+            toks = np.asarray(
+                jax.device_get(self._sample(logits, sub, jnp.asarray(temps)))
+            )[None]  # (1, B)
         for i in slots:
             req = self.active[i]
-            tok = int(
-                sample_logits(logits[i : i + 1], jax.random.fold_in(sub, i), req.temperature)[0]
-            )
-            req.output.append(tok)
-            self.slot_pos[i] += 1
-            self._maybe_finish(req, slot_len=int(self.slot_pos[i]))
+            for h in range(toks.shape[0]):
+                if req.done:
+                    break  # horizon overshoot past EOS/max: truncate
+                req.output.append(int(toks[h, i]))
+                self.slot_pos[i] += 1
+                self._maybe_finish(req, slot_len=int(self.slot_pos[i]))
             if req.done:
                 self.completed.append(req)
                 self.active[i] = None

@@ -59,6 +59,24 @@ def sample_logits(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def sample_logits_vec(
+    logits: jax.Array, key: jax.Array, temps: jax.Array, top_k: int = 0
+) -> jax.Array:
+    """(B, vocab) + per-row temperatures (B,) → (B,) token ids.
+
+    Rows with ``temps <= 0`` decode greedily; the rest sample categorically
+    at their own temperature — one fused device program for a whole slot
+    pool (the per-slot host round-trips this replaces cost ~35 ms each
+    through the tunnel, per batcher step)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
 def generate(
     cfg: LlamaConfig,
     weights: LlamaWeights,

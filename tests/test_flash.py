@@ -95,18 +95,21 @@ def test_flash_in_llama_decode():
     weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, cfg.vocab_size)
     caches = init_caches(cfg, 2)
+    # f32 kernel variant: projections are bit-identical across the two runs,
+    # so the comparison isolates the attention paths (the bf16 serving
+    # variants amplify sub-ulp attention differences through later layers)
     _, caches = llama_forward(
         cfg, weights, tokens[:, :5], caches, jnp.int32(0),
-        strategy="lut_gemv", interpret=True, attn="xla",
+        strategy="lut_gemv", interpret=True, attn="xla", variant="f32",
     )
     args = (cfg, weights, tokens[:, 5:6])
     l_flash, _ = llama_forward(
         *args, caches, jnp.int32(5), strategy="lut_gemv", interpret=True,
-        attn="flash",
+        attn="flash", variant="f32",
     )
     l_xla, _ = llama_forward(
         *args, caches, jnp.int32(5), strategy="lut_gemv", interpret=True,
-        attn="xla",
+        attn="xla", variant="f32",
     )
     np.testing.assert_allclose(
         np.asarray(l_flash), np.asarray(l_xla), rtol=2e-2, atol=2e-2

@@ -79,7 +79,7 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
 
 def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         strategy: str = "auto", interpret: bool | None = None,
-        scan_layers: bool = True) -> list[dict]:
+        scan_layers: bool = True, variant: str = "auto") -> list[dict]:
     from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
 
     cfg = LlamaConfig(**MODELS[model])
@@ -148,12 +148,13 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         "model": model,
         "batch": batch,
         "strategy": strategy,
+        "variant": variant,
         "ms_per_step": round(dt * 1e3, 2),
         "tokens_per_s": round(toks_per_s, 1),
         "approx_param_elems": n_params,
     }
     print(
-        f"{model} B={batch} [{strategy}]: {row['ms_per_step']} ms/step, "
+        f"{model} B={batch} [{strategy}/{variant}]: {row['ms_per_step']} ms/step, "
         f"{row['tokens_per_s']} tok/s"
     )
     return [row]
@@ -165,6 +166,8 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--strategy", default="auto")
+    ap.add_argument("--variant", default="auto",
+                    help="lookup-kernel variant (auto|f32|pair|bpair|i8)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--prefill", type=int, default=0, help="prefill bench with this seq len")
@@ -173,7 +176,8 @@ if __name__ == "__main__":
         rows = run_prefill(args.model, args.batch, args.prefill, args.strategy,
                            args.interpret or None)
     else:
-        rows = run(args.model, args.batch, args.steps, args.strategy, args.interpret or None)
+        rows = run(args.model, args.batch, args.steps, args.strategy,
+                   args.interpret or None, variant=args.variant)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

@@ -32,10 +32,14 @@ _OPS_PER_CODE_K256_BPAIR = 9.8  # per token PAIR
 _OPS_PER_CODE_K128 = 5.3
 _OPS_PER_CODE_K128_BPAIR = 6.0  # per token pair (single gather, no select)
 _OPS_PER_CODE_SHARED = 0.0
-# dequant_mm: per code, batch-amortized: d words × (2 gathers + select + sums
-# + scratch store); calibrated on v5e (830us for 11008×1024 codes, d=8 →
-# 8.8 lane-ops/code-word; theoretical floor ~3.4 — optimization headroom).
-_OPS_PER_CODE_WORD_DQ = 8.8
+# dequant_mm v2 (MXU-folded N-sum, no scratch): per code, batch-amortized;
+# recalibrated against the measured sweep (artifacts/dataflow_sweep.csv:
+# 400-412us for 11008×1024 codes, d=8 → ~4.2 lane-ops/code-word; the round-1
+# v1 kernel was 8.8).
+_OPS_PER_CODE_WORD_DQ = 4.2
+# fixed per-call overhead (launch + epilogue): tiny-workload sweep rows
+# (PQ/RQ, sub-µs predicted) all measure ~2.6 µs regardless of strategy.
+_LAUNCH_OVERHEAD_S = 2.5e-6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,7 +56,7 @@ class KernelCost:
 
     def time_s(self, chip: Optional[ChipSpec] = None) -> float:
         chip = chip or default_chip()
-        return max(
+        return _LAUNCH_OVERHEAD_S + max(
             self.total_hbm / chip.hbm_gbps,
             self.vpu_ops / chip.vpu_lane_ops,
             self.mxu_flops / chip.bf16_flops,
@@ -175,6 +179,53 @@ def estimate(
     cfg: VQConfig, d_out: int, batch: int, strategy: str, chip: Optional[ChipSpec] = None
 ) -> KernelCost:
     return STRATEGIES[strategy](cfg, d_out, batch)
+
+
+@dataclasses.dataclass(frozen=True)
+class Tiling:
+    block_j: int  # output-tile width per grid step
+    lut_batch: int  # tokens whose packed LUTs stay VMEM-resident per launch
+
+
+def tune_tiling(
+    cfg: VQConfig,
+    d_out: int,
+    batch: int,
+    chip: Optional[ChipSpec] = None,
+    strategy: str = "lut_gemv",
+) -> Tiling:
+    """Derive kernel tiling from hardware parameters (the analog of the
+    reference deriving its tile counts from VLEN/LMUL/BW, vq.py:69-82 —
+    round 1 hard-coded both knobs; VERDICT r1 item 8).
+
+    - ``lut_batch``: the largest even token count whose packed (pair-word)
+      LUT tables fit half the VMEM budget next to a codes tile — beyond it
+      the wrapper chunks the batch across launches.
+    - ``block_j``: the widest lane-multiple output tile whose codes tile +
+      psum rows fit the remaining budget, capped at 1024 — the measured DMA
+      sweet spot on v5e (exp/probe_gather8.py); the analytic model does not
+      capture the DMA-pipelining falloff past it.
+    """
+    chip = chip or default_chip()
+    kp = max(cfg.n_cluster, 128)
+    g_pad = (cfg.n_groups + 7) // 8 * 8
+    budget = 0.5 * chip.vmem_bytes  # headroom for double-buffering
+    if strategy == "dequant_mm":
+        tables = cfg.d_subvec // 2 * g_pad * kp * 4
+        x_bytes = batch * cfg.d_in * cfg.n_codebook * 2
+        fixed = tables + x_bytes
+        lut_batch = batch  # dequant keeps the whole batch tile resident
+    else:
+        per_pair = g_pad * kp * 4  # packed i32 pair words per 2 tokens
+        lut_batch = 2 * max(1, min(8, int(budget * 0.5 / max(per_pair, 1))))
+        fixed = per_pair * min((batch + 1) // 2, lut_batch // 2)
+    bj = 128
+    for cand in (1024, 512, 256, 128):
+        need = fixed + g_pad * cand + (batch * cand + cand) * 4
+        if need <= budget:
+            bj = cand
+            break
+    return Tiling(block_j=bj, lut_batch=lut_batch)
 
 
 def pick_strategy(

@@ -100,7 +100,10 @@ def repack_column_parallel(packed: PackedVQ, tp: int) -> PackedVQ:
     if d_out % tp:
         raise ValueError(f"d_out={d_out} must divide by tp={tp}")
     local = d_out // tp
-    lp = _round_up(local, LANE)
+    # wide shards pad to a 512 multiple so _resolve_block keeps a large
+    # output tile (11008/8 = 1376 → lane-padded 1408 = 128·11 degrades the
+    # kernel to bj=128; 1536 keeps bj=512 for +11% pad codes)
+    lp = _round_up(local, 512 if local > 512 else LANE)
 
     def chunk(arr, fill):
         parts = [

@@ -218,12 +218,13 @@ def dequant_matmul(
     packed: PackedVQ,
     x: jax.Array,
     *,
-    block_j: int = DEFAULT_BLOCK_J,
+    block_j: int | None = None,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
     tables: str = "bf16x2",
     interpret: bool | None = None,
 ) -> jax.Array:
     """Batched fused dequant-matmul: ``(B, d_in) → (B, d_out)`` float32.
+    ``block_j=None`` uses the hardware-derived tiling (tune_tiling).
 
     Weight tiles are reconstructed on-chip and consumed immediately by the
     MXU; HBM reads stay at codes + activations (+ small tables).  Batches
@@ -236,6 +237,13 @@ def dequant_matmul(
     from tpu_lutvq.kernels.lut_ctor import resolve_interpret
 
     interpret = resolve_interpret(interpret)
+    if block_j is None:
+        from tpu_lutvq.dataflow.traffic import tune_tiling
+
+        block_j = tune_tiling(
+            cfg, packed.d_out, min(x.shape[0], MAX_BATCH_TILE),
+            strategy="dequant_mm",
+        ).block_j
     if cfg.n_cluster > 2 * LANE:
         raise ValueError("dequant_matmul supports K ≤ 256 (use load-time dequant for 1x16)")
     if packed.nibbles:

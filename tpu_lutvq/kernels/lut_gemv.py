@@ -60,7 +60,9 @@ def _valid_width(packed: PackedVQ) -> int:
     if packed.shards == 1:
         return packed.d_out
     local = packed.local_d_out
-    lp = _round_up(local, LANE)
+    # mirror repack_column_parallel's padding rule (wide shards pad to 512
+    # multiples to keep a large kernel block)
+    lp = _round_up(local, 512 if local > 512 else LANE)
     if width == lp:
         return local  # per-device chunk inside shard_map
     raise ValueError(
@@ -151,6 +153,12 @@ def pack_params(
 
     local = d_out // shards
     local_pad = _round_up(local, LANE)
+    # widths that are lane-aligned but share no large divisor with block_j
+    # force _resolve_block down to a small tile (11008 = 128·43 → bj=256,
+    # 43 grid steps of per-step overhead — measured 1.5× slower than bj=1024
+    # at 4096×11008).  Pad to a block_j multiple instead (+2.3% codes there).
+    if local_pad > block_j and local_pad % block_j:
+        local_pad = _round_up(local_pad, block_j)
 
     def pad_chunks(arr, fill):
         chunks = [
@@ -609,23 +617,32 @@ def lut_gemv(
     packed: PackedVQ,
     x: jax.Array,
     *,
-    block_j: int = DEFAULT_BLOCK_J,
+    block_j: int | None = None,
     interpret: bool | None = None,
     variant: str = "auto",
+    lut_batch: int | None = None,
 ) -> jax.Array:
     """Fused LUT-VQ matmul: ``(B, d_in) → (B, d_out)`` float32.
 
-    Streams codes once (VeLU dataflow); LUTs for up to ``MAX_LUT_BATCH``
-    tokens are VMEM-resident per kernel launch, larger batches are chunked.
+    Streams codes once (VeLU dataflow); LUTs for up to ``lut_batch`` tokens
+    are VMEM-resident per kernel launch, larger batches are chunked.
     ``variant`` selects the lookup kernel (see ``_lut_gemv_packed``).
+    ``block_j``/``lut_batch`` default to the hardware-derived tiling
+    (dataflow.traffic.tune_tiling); pass explicitly to override.
     """
     from tpu_lutvq.kernels.lut_ctor import resolve_interpret
 
     interpret = resolve_interpret(interpret)
     batch = x.shape[0]
+    if block_j is None or lut_batch is None:
+        from tpu_lutvq.dataflow.traffic import tune_tiling
+
+        t = tune_tiling(cfg, packed.d_out, batch)
+        block_j = block_j or t.block_j
+        lut_batch = lut_batch or t.lut_batch
     outs = []
-    for b0 in range(0, batch, MAX_LUT_BATCH):
-        xb = x[b0 : b0 + MAX_LUT_BATCH]
+    for b0 in range(0, batch, lut_batch):
+        xb = x[b0 : b0 + lut_batch]
         v = resolve_variant(
             variant, nibbles=packed.nibbles, batch=xb.shape[0], k=cfg.n_cluster
         )

@@ -32,6 +32,10 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_seq: int = 2048
     group: int = 8  # AQLM group size (codes per d_subvec weights)
+    # layer-wide (shared) codebooks — what real AQLM checkpoints ship; the
+    # per-subvector form costs an extra multi-MB codebook read per
+    # projection per step in the LUT build (measured ~8-20 us each)
+    shared_codebook: bool = True
     kv_dtype: str = "int8"  # "int8" (half memory) | "bf16" (no dequant traffic)
     head_dim_override: Optional[int] = None  # set by local_tp_config: head_dim
     # is a global property and must survive n_heads being divided per device
@@ -51,7 +55,9 @@ class LlamaConfig:
         return self.n_kv_heads * self.head_dim
 
     def vq_cfg(self, d_in: int) -> VQConfig:
-        return aqlm_2x8(d_in, group=self.group)
+        return aqlm_2x8(
+            d_in, group=self.group, shared_codebook=self.shared_codebook
+        )
 
     @classmethod
     def llama2_7b(cls, **kw) -> "LlamaConfig":

@@ -31,6 +31,7 @@ def sequence_logprobs(
     *,
     strategy: str = "auto",
     interpret: Optional[bool] = None,
+    variant: str = "auto",
 ) -> jax.Array:
     """Teacher-forced log p(t_i | t_<i) for positions 1..T-1 → (B, T-1)."""
     logits, _ = llama_forward(
@@ -41,6 +42,7 @@ def sequence_logprobs(
         jnp.int32(0),
         strategy=strategy,
         interpret=interpret,
+        variant=variant,
     )
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     return jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]

@@ -79,7 +79,13 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
 
 def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         strategy: str = "auto", interpret: bool | None = None,
-        scan_layers: bool = True, variant: str = "auto") -> list[dict]:
+        scan_layers: bool = False, variant: str = "auto") -> list[dict]:
+    """scan_layers=False (default): python-loop layer execution — each
+    layer's weights are persistent buffers passed straight to the kernels.
+    lax.scan over stacked weights must materialize a per-layer weight-slice
+    copy every step (Pallas operands cannot alias a dynamic-slice): measured
+    ~65 us/layer at 7B — 12.1 vs 9.44 ms/step.  Scan remains the
+    fast-compile option (one layer body vs L inlined copies)."""
     from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
 
     cfg = LlamaConfig(**MODELS[model])
@@ -168,6 +174,8 @@ if __name__ == "__main__":
     ap.add_argument("--strategy", default="auto")
     ap.add_argument("--variant", default="auto",
                     help="lookup-kernel variant (auto|f32|pair|bpair|i8)")
+    ap.add_argument("--scan", action="store_true",
+                    help="lax.scan layer execution (fast compile, slower steps)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--prefill", type=int, default=0, help="prefill bench with this seq len")
@@ -177,7 +185,8 @@ if __name__ == "__main__":
                            args.interpret or None)
     else:
         rows = run(args.model, args.batch, args.steps, args.strategy,
-                   args.interpret or None, variant=args.variant)
+                   args.interpret or None, scan_layers=args.scan,
+                   variant=args.variant)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

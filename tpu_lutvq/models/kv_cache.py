@@ -112,6 +112,63 @@ def update_cache(cache: KVCache, k: jax.Array, v: jax.Array, pos: jax.Array) -> 
     )
 
 
+def update_cache_stacked(
+    caches_all: KVCache,  # leaves with leading layer axis: (L, B, H, S[, Dh])
+    li: jax.Array,  # scalar layer index (traced)
+    k: jax.Array,  # (B, T, H, Dh) new keys (projection-natural)
+    v: jax.Array,
+    pos: jax.Array,  # scalar or (B,)
+) -> KVCache:
+    """Insert T new tokens directly into layer ``li`` of a stacked cache.
+
+    The scan path previously extracted the WHOLE per-layer cache
+    (dynamic_index_in_dim — a (B, H, S, Dh) copy), updated one row, and
+    reinserted it: 2×16 MB per layer at 7B B=1, ~250 µs/layer at B=8.
+    Writing the new rows with one scatter touches only T rows per head."""
+    b, t = k.shape[0], k.shape[1]
+    k = jnp.transpose(k, (0, 2, 1, 3))  # (B, H, T, Dh)
+    v = jnp.transpose(v, (0, 2, 1, 3))
+    if caches_all.k_q.dtype == jnp.int8:
+        k_q, k_s = quantize_kv(k)
+        v_q, v_s = quantize_kv(v)
+    else:
+        k_q = k.astype(caches_all.k_q.dtype)
+        v_q = v.astype(caches_all.v_q.dtype)
+        k_s = jnp.ones(k.shape[:-1], jnp.float32)
+        v_s = jnp.ones(v.shape[:-1], jnp.float32)
+    pos = jnp.asarray(pos, jnp.int32)
+    if pos.ndim == 0:
+        pos = jnp.full((b,), pos, jnp.int32)
+    h = k_q.shape[1]
+    bi = jnp.arange(b)[:, None, None]  # (B,1,1)
+    hi = jnp.arange(h)[None, :, None]  # (1,H,1)
+    si = pos[:, None, None] + jnp.arange(t)[None, None, :]  # (B,1,T)
+    mode = "drop"  # out-of-range rows (guarded by callers) must not clamp
+    return KVCache(
+        k_q=caches_all.k_q.at[li, bi, hi, si].set(k_q, mode=mode),
+        v_q=caches_all.v_q.at[li, bi, hi, si].set(v_q, mode=mode),
+        k_scale=caches_all.k_scale.at[li, bi, hi, si].set(k_s, mode=mode),
+        v_scale=caches_all.v_scale.at[li, bi, hi, si].set(v_s, mode=mode),
+    )
+
+
+def slice_layer_window(caches_all: KVCache, li: jax.Array, window: int) -> KVCache:
+    """Copy only the ``[0, window)`` prefix of layer ``li`` out of a stacked
+    cache — the piece attention actually reads (vs. the full S_max slice)."""
+    z = jnp.zeros((), jnp.int32)
+    li = jnp.asarray(li, jnp.int32)
+    _, b, h, s, dh = caches_all.k_q.shape
+    w = min(window, s)
+    s4 = lambda c: jax.lax.dynamic_slice(c, (li, z, z, z, z), (1, b, h, w, dh))[0]
+    s3 = lambda c: jax.lax.dynamic_slice(c, (li, z, z, z), (1, b, h, w))[0]
+    return KVCache(
+        k_q=s4(caches_all.k_q),
+        v_q=s4(caches_all.v_q),
+        k_scale=s3(caches_all.k_scale),
+        v_scale=s3(caches_all.v_scale),
+    )
+
+
 def write_cache_slot(big: KVCache, small: KVCache, slot: int | jax.Array) -> KVCache:
     """Copy a single-sequence cache (B=1) into slot ``slot`` of a batched
     cache (continuous batching admission)."""

@@ -269,6 +269,7 @@ def _block(
     collective: str = "psum",  # "psum" (blocking) | "ring" (overlapped)
     axis_size: Optional[int] = None,  # static TP degree (required for "ring")
     variant: str = "auto",  # lookup-kernel flavor (QuantizedLinear.apply)
+    stacked=None,  # (caches_all with layer axis, li): direct stacked-cache IO
 ) -> tuple[jax.Array, KVCache]:
     b, t, h = x.shape
     vq_h = cfg.vq_cfg(cfg.hidden)
@@ -303,8 +304,24 @@ def _block(
     tpos = pos[:, None] + jnp.arange(t)[None, :]  # (B, T)
     q = rope(q, tpos, cfg.rope_theta)
     k = rope(k, tpos, cfg.rope_theta)
-    cache = update_cache(cache, k, v, pos)
-    attn_out_raw = _attention(cfg, q, cache, pos, window, attn, interpret)
+    if stacked is None:
+        cache = update_cache(cache, k, v, pos)
+        attn_out_raw = _attention(cfg, q, cache, pos, window, attn, interpret)
+    else:
+        # scan mode: scatter the T new rows straight into the stacked cache
+        # and slice only the attention window back out — extracting the full
+        # (B, H, S, Dh) layer slice cost 2×16 MB/layer at 7B B=1 (measured
+        # 23% of step time at 1B)
+        from tpu_lutvq.models.kv_cache import (
+            slice_layer_window,
+            update_cache_stacked,
+        )
+
+        caches_all, li = stacked
+        cache = update_cache_stacked(caches_all, li, k, v, pos)
+        w = window if window is not None else cache.k_q.shape[3]
+        view = slice_layer_window(cache, li, w)
+        attn_out_raw = _attention(cfg, q, view, pos, w, attn, interpret)
     x = x + row_parallel(lw.wo, vq_o, attn_out_raw)
 
     xn = rms_norm(x, lw.mlp_norm, cfg.rms_eps)
@@ -387,20 +404,15 @@ def llama_forward(
         # keeps one aliased buffer and updates it in place.  Passing caches
         # as scan xs/ys instead copies the ENTIRE cache every step (~17 GB
         # per step at 7B B=8 — measured as the dominant decode cost).
+        # _block scatters new rows / slices the attention window directly on
+        # the stacked leaves (stacked=): a full per-layer extract+reinsert
+        # measured 23% of 1B B=1 step time.
         def body(carry, lw):
             x, caches_all, li = carry
-            cache_i = jax.tree.map(
-                lambda c: jax.lax.dynamic_index_in_dim(c, li, 0, keepdims=False),
-                caches_all,
-            )
-            x, cache_i = _block(
-                cfg, lw, x, cache_i, pos, strategy, interpret, axis_name,
+            x, caches_all = _block(
+                cfg, lw, x, None, pos, strategy, interpret, axis_name,
                 window, attn, collective, axis_size, variant,
-            )
-            caches_all = jax.tree.map(
-                lambda c, nc: jax.lax.dynamic_update_index_in_dim(c, nc, li, 0),
-                caches_all,
-                cache_i,
+                stacked=(caches_all, li),
             )
             return (x, caches_all, li + 1), None
 

@@ -1,0 +1,111 @@
+"""Worker for the 2-process multi-host TP test (spawned by
+tests/test_multihost.py — not collected by pytest itself).
+
+Each process contributes 2 virtual CPU devices to a jax.distributed group,
+builds the same tiny model from a fixed seed, runs one TP=4 decode step
+over the GLOBAL mesh (devices spanning both processes), and checks the
+replicated logits against a locally computed single-device reference.
+This is the same code path a real multi-host TPU pod runs: distributed
+init → barrier → config check → global-mesh shard_map serving.
+
+Usage: multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tpu_lutvq.dist import make_tp_mesh, make_tp_decode_step, shard_llama_tp  # noqa: E402
+from tpu_lutvq.dist.multihost import (  # noqa: E402
+    assert_same_across_hosts,
+    barrier,
+    init_multihost,
+)
+from tpu_lutvq.dist.tp import init_tp_caches  # noqa: E402
+from tpu_lutvq.models import LlamaConfig, init_llama  # noqa: E402
+from tpu_lutvq.models.llama import init_caches, llama_decode_step  # noqa: E402
+
+
+def main() -> None:
+    info = init_multihost(f"localhost:{port}", nproc, pid)
+    assert info["process_count"] == nproc, info
+    assert info["global_devices"] == 2 * nproc, info
+    barrier("start", timeout_s=120)
+
+    cfg = LlamaConfig.tiny(
+        hidden=256, ffn=512, n_heads=8, n_kv_heads=4, n_layers=2, max_seq=16,
+        vocab_size=64,
+    )
+    assert_same_across_hosts(cfg.hidden, "hidden")
+
+    weights = init_llama(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    tp = 2 * nproc
+    mesh = make_tp_mesh(tp)  # global mesh spanning both processes
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    step = make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True)
+
+    tokens = jnp.asarray([5, 9], jnp.int32)
+    pos = jnp.zeros((2,), jnp.int32)
+    caches = init_tp_caches(cfg, 2, mesh)
+    logits_tp, caches = step(sharded, tokens, caches, pos)
+    # fully-replicated output: every process can read it
+    got = np.asarray(jax.device_get(logits_tp))
+
+    # single-device reference computed locally from the same seed
+    ref, _ = llama_decode_step(
+        cfg, weights, tokens, init_caches(cfg, 2), pos,
+        strategy="dequant_mm", interpret=True,
+    )
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+    # --- multi-host continuous batching (BASELINE north-star config 4) ---
+    # every process runs the IDENTICAL scheduler loop (the multi-controller
+    # contract: same program order on all hosts); device work is the TP
+    # prefill/step over the global mesh
+    import functools
+
+    from tpu_lutvq.dist import make_tp_prefill
+    from tpu_lutvq.runtime import ContinuousBatcher, Request
+
+    prefill = make_tp_prefill(cfg, mesh, strategy="dequant_mm", interpret=True)
+    batcher = ContinuousBatcher(
+        cfg,
+        sharded,
+        n_slots=2,
+        prefill_fn=prefill,
+        step_fn=step,
+        cache_factory=functools.partial(
+            lambda c, b, mesh=mesh: init_tp_caches(c, b, mesh)
+        ),
+    )
+    prompts = [[1, 2, 3], [4, 5]]
+    for i, p in enumerate(prompts):
+        batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=3))
+    done = batcher.run(max_steps=30)
+    by_id = {r.req_id: r.output for r in done}
+
+    # reference: single-device batcher on the unsharded weights
+    ref_b = ContinuousBatcher(cfg, weights, n_slots=2, strategy="dequant_mm",
+                              interpret=True)
+    for i, p in enumerate(prompts):
+        ref_b.submit(Request(req_id=i, prompt=p, max_new_tokens=3))
+    ref_done = ref_b.run(max_steps=30)
+    ref_by_id = {r.req_id: r.output for r in ref_done}
+    assert by_id == ref_by_id, (by_id, ref_by_id)
+
+    barrier("done", timeout_s=120)
+    print(f"process {pid}: multihost TP decode+batching OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -193,10 +193,29 @@ def cache_specs(n_layers: int, axis: str = "tp") -> tuple[KVCache, ...]:
     return tuple(one for _ in range(n_layers))
 
 
+def _put_sharded(w, sharding):
+    """Place one leaf with its sharding — multi-host aware.
+
+    On a single controller ``device_put`` suffices.  Across processes a
+    sharding spans non-addressable devices, so each process materializes
+    only its local shards via ``make_array_from_callback`` (every process
+    holds the full host array here — per-host sharded *loading* composes by
+    having the callback read from the checkpoint instead)."""
+    if jax.process_count() == 1:
+        return jax.device_put(w, sharding)
+    import numpy as np
+
+    host = np.asarray(w)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def shard_llama_tp(
     cfg: LlamaConfig, weights: LlamaWeights, mesh: Mesh, axis: str = "tp"
 ) -> LlamaWeights:
-    """Re-pack row-parallel layers and place every leaf with its TP sharding."""
+    """Re-pack row-parallel layers and place every leaf with its TP sharding
+    (works on a single controller and across multi-host process groups)."""
     tp = mesh.shape[axis]
     vq_h = cfg.vq_cfg(cfg.hidden)
     vq_f = cfg.vq_cfg(cfg.ffn)
@@ -221,7 +240,7 @@ def shard_llama_tp(
         is_leaf=lambda x: isinstance(x, P) or x is None,
     )
     return jax.tree.map(
-        lambda w, s: jax.device_put(w, s) if s is not None else w, weights, shardings
+        lambda w, s: _put_sharded(w, s) if s is not None else w, weights, shardings
     )
 
 
@@ -317,5 +336,5 @@ def init_tp_caches(cfg: LlamaConfig, batch: int, mesh: Mesh, axis: str = "tp"):
     caches = init_caches(cfg, batch)
     specs = cache_specs(cfg.n_layers, axis)
     return jax.tree.map(
-        lambda c, s: jax.device_put(c, NamedSharding(mesh, s)), caches, specs
+        lambda c, s: _put_sharded(c, NamedSharding(mesh, s)), caches, specs
     )

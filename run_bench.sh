@@ -30,6 +30,11 @@ done
 echo "=== e2e tier (decode tok/s) ==="
 python -m tpu_lutvq.bench.e2e --model 1b --batch 1 --steps 64 --csv artifacts/e2e_1b.csv
 python -m tpu_lutvq.bench.e2e --model 1b --batch 8 --steps 64 --csv artifacts/e2e_1b_b8.csv
+python -m tpu_lutvq.bench.e2e --model 1b --batch 1 --prefill 512 --csv artifacts/prefill_1b.csv
 
-echo "=== analytical sweep ==="
-python -m tpu_lutvq.dataflow.sweep artifacts/dataflow_sweep.csv
+echo "=== batcher tier (continuous batching tok/s) ==="
+python -m tpu_lutvq.bench.batcher --model 1b --slots 8 --requests 16 \
+  --max-new 32 --csv artifacts/batcher_1b.csv
+
+echo "=== analytical sweep (add --measure on TPU for calibration rows) ==="
+python -m tpu_lutvq.dataflow.sweep artifacts/dataflow_sweep_analytic.csv

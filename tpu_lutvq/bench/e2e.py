@@ -53,11 +53,15 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
     caches = init_stacked_caches(cfg, batch)
     tokens = jnp.zeros((batch, seq), jnp.int32)
 
+    from tpu_lutvq.runtime.generate import bucket_window
+
+    win = bucket_window(seq, cfg.max_seq)  # don't scan cache rows past the prompt
+
     @jax.jit
     def prefill(weights, tokens, caches):
         logits, caches = llama_forward(
             cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
-            interpret=interpret,
+            interpret=interpret, window=win,
         )
         return logits[:, -1], caches
 

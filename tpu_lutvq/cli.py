@@ -34,7 +34,7 @@ def cmd_generate(args) -> None:
         presets = {"7b": LlamaConfig.llama2_7b, "13b": LlamaConfig.llama2_13b,
                    "70b": LlamaConfig.llama2_70b}
         cfg = presets[args.model]()
-        weights = load_aqlm_llama(args.aqlm, cfg)
+        weights = load_aqlm_llama(args.aqlm, cfg, one_x16=args.one_x16)
     else:
         print("error: provide --ckpt or --aqlm", file=sys.stderr)
         sys.exit(2)
@@ -93,6 +93,12 @@ def main(argv=None) -> None:
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument(
+        "--one-x16", dest="one_x16", default="dequant",
+        choices=["dequant", "refit"],
+        help="1x16 checkpoints: exact load-time dequant (dense bf16) or "
+             "2x8 re-fit served fused at the codes footprint",
+    )
     g.set_defaults(fn=cmd_generate)
 
     q = sub.add_parser("quantize", help="write a (synthetic) native checkpoint")

@@ -14,7 +14,7 @@ from typing import Optional
 
 from tpu_lutvq.core.config import aqlm_2x8, pq_ann, rq_ann, tmac
 from tpu_lutvq.dataflow.chips import ChipSpec, default_chip
-from tpu_lutvq.dataflow.traffic import STRATEGIES
+from tpu_lutvq.dataflow.traffic import SWEEP_STRATEGIES
 
 # The reference's four sweep workloads (sim_dataflow.py:33-52).
 WORKLOADS = {
@@ -73,11 +73,13 @@ def _measure_strategy(cfg, d_out, batch, sname, tiling, pred_s) -> Optional[floa
     if sname == "dense_bf16":
         w = jax.random.normal(key, (d_out, cfg.d_in), jnp.bfloat16)
         fn = lambda x: (x.astype(jnp.bfloat16) @ w.T).astype(jnp.float32)
-    elif sname == "lut_gemv":
+    elif sname in ("lut_gemv", "lut_gemv_i8"):
         params = init_vq_params(key, cfg, d_out, dtype=jnp.bfloat16, with_scales=True)
         packed = pack_params(cfg, params)
+        variant = "i8" if sname == "lut_gemv_i8" else "auto"
         fn = lambda x: lut_gemv(
-            cfg, packed, x, block_j=tiling.block_j, lut_batch=tiling.lut_batch
+            cfg, packed, x, block_j=tiling.block_j, lut_batch=tiling.lut_batch,
+            variant=variant,
         )
     elif sname == "dequant_mm":
         if cfg.vq_type == "tmac":
@@ -89,9 +91,7 @@ def _measure_strategy(cfg, d_out, batch, sname, tiling, pred_s) -> Optional[floa
         return None
     n = int(min(65536, max(256, 25e-3 / max(pred_s, 1e-9))))
     dt = bench_time(fn, x, n=n, repeats=3)
-    from tpu_lutvq.dataflow.traffic import STRATEGIES
-
-    floor = STRATEGIES[sname](cfg, d_out, batch).total_hbm / (2 * 819e9)
+    floor = SWEEP_STRATEGIES[sname](cfg, d_out, batch).total_hbm / (2 * 819e9)
     return dt if dt > floor else None
 
 
@@ -108,7 +108,7 @@ def run_sweep(
     chip = chip or default_chip()
     rows = []
     for wname, (cfg, d_out, batch) in WORKLOADS.items():
-        for sname, fn in STRATEGIES.items():
+        for sname, fn in SWEEP_STRATEGIES.items():
             c = fn(cfg, d_out, batch)
             mb = {k: v / 2**20 for k, v in c.hbm_bytes.items()}
             rows.append(

@@ -31,6 +31,10 @@ _OPS_PER_CODE_K256_PAIR = 5.0
 _OPS_PER_CODE_K256_BPAIR = 9.8  # per token PAIR
 _OPS_PER_CODE_K128 = 5.3
 _OPS_PER_CODE_K128_BPAIR = 6.0  # per token pair (single gather, no select)
+# int8 integer-accumulate variant: 2 tokens/gather-word at K=256 (measured
+# 143.6 µs B=8 on 4096² → ~8.2 ops/code per pair), 4 at K≤128 (estimate)
+_OPS_PER_CODE_K256_I8PAIR = 8.2
+_OPS_PER_CODE_K128_I8QUAD = 6.0  # per token QUAD
 _OPS_PER_CODE_SHARED = 0.0
 # dequant_mm v2 (MXU-folded N-sum, no scratch): per code, batch-amortized;
 # recalibrated against the measured sweep (artifacts/dataflow_sweep.csv:
@@ -152,6 +156,41 @@ def cost_dequant_mm(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
     )
 
 
+def cost_lut_gemv_i8(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
+    """Integer-accumulate lookup variant (lut_gemv variant='i8'): int8 LUT
+    entries packed 4-per-gather-word — the reference's int8-LUT design point
+    (lut_ctor.cc:232-260, tbl.cc:537-670) as a sweep strategy row.  Not an
+    auto candidate: its per-token dynamic range scale shifts ppl ~+1.8%
+    (tiny model), so selecting it is a precision decision, not a tiling one.
+    """
+    codes, inp, psum, codebook = _base_traffic(cfg, d_out, batch)
+    kp = max(cfg.n_cluster, 128)
+    n_codes = d_out * cfg.n_groups
+    wide = cfg.n_cluster > 128
+    tpw = 2 if wide else 4  # tokens per gather word
+    groups = (batch + tpw - 1) // tpw
+    tab_lanes = 128 if wide else kp
+    lut_bytes = 2.0 * groups * cfg.n_groups * tab_lanes * 4
+    per_group = _OPS_PER_CODE_K256_I8PAIR if wide else _OPS_PER_CODE_K128_I8QUAD
+    vpu = n_codes * per_group * groups
+    mxu = 2 * batch * cfg.lut_entries * cfg.d_subvec
+    mxu += 2 * batch * d_out * cfg.n_groups  # int8 selector-reduce
+    vmem = groups * cfg.n_groups * tab_lanes * 4 + 2 * cfg.n_groups * 1024
+    return KernelCost(
+        "lut_gemv_i8",
+        {
+            "codeword": codes,
+            "codebook": codebook,
+            "lut": lut_bytes,
+            "inp": inp,
+            "psum": psum,
+        },
+        vpu,
+        mxu,
+        vmem,
+    )
+
+
 def cost_dense_bf16(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
     """Baseline: dense bf16 weights (what the reference benchmarks against,
     benchmark_rq_gemm_cpu.py:139-143)."""
@@ -174,6 +213,10 @@ STRATEGIES = {
     "dense_bf16": cost_dense_bf16,
 }
 
+# strategy rows for the sweep/calibration loop; lut_gemv_i8 is excluded from
+# pick_strategy (precision-changing — see cost_lut_gemv_i8)
+SWEEP_STRATEGIES = {**STRATEGIES, "lut_gemv_i8": cost_lut_gemv_i8}
+
 
 def estimate(
     cfg: VQConfig, d_out: int, batch: int, strategy: str, chip: Optional[ChipSpec] = None
@@ -184,7 +227,14 @@ def estimate(
 @dataclasses.dataclass(frozen=True)
 class Tiling:
     block_j: int  # output-tile width per grid step
-    lut_batch: int  # tokens whose packed LUTs stay VMEM-resident per launch
+    lut_batch: int  # tokens resident per launch (LUTs / dequant batch tile)
+
+
+# Mosaic's per-kernel scoped VMEM stack limit (all resident operand blocks +
+# output block must fit): 16 MiB by default, independent of total VMEM.
+# Exceeding it is a COMPILE error (observed: the n-duplicated dequant x at
+# B=256 on 11008-wide layers → "Scoped allocation ... exceeded ... 16.00M").
+_SCOPED_VMEM = 16 * 2**20
 
 
 def tune_tiling(
@@ -209,16 +259,33 @@ def tune_tiling(
     chip = chip or default_chip()
     kp = max(cfg.n_cluster, 128)
     g_pad = (cfg.n_groups + 7) // 8 * 8
-    budget = 0.5 * chip.vmem_bytes  # headroom for double-buffering
+    budget = 0.9 * min(chip.vmem_bytes, _SCOPED_VMEM)
     if strategy == "dequant_mm":
+        # resident: tables + x(batch_tile) + codes tile + out tile; pick the
+        # widest block that still allows a useful batch tile, then size the
+        # batch tile to fill what remains
+        # resident set: tables + x(batch_tile) + codes tile + out tile.  The
+        # tables are re-DMA'd per LAUNCH (batch chunk), so minimize launch
+        # count first (a narrow 11008-wide w_down fits only ~40 batch rows
+        # at bj=1024 → 7 launches × 11 MB of table traffic), widest block as
+        # the tiebreak.
         tables = cfg.d_subvec // 2 * g_pad * kp * 4
-        x_bytes = batch * cfg.d_in * cfg.n_codebook * 2
-        fixed = tables + x_bytes
-        lut_batch = batch  # dequant keeps the whole batch tile resident
-    else:
-        per_pair = g_pad * kp * 4  # packed i32 pair words per 2 tokens
-        lut_batch = 2 * max(1, min(8, int(budget * 0.5 / max(per_pair, 1))))
-        fixed = per_pair * min((batch + 1) // 2, lut_batch // 2)
+        best = None  # (launches, -bj, bj, bt)
+        for cand in (1024, 512, 256, 128):
+            avail = budget - tables - g_pad * cand
+            # bf16 x row (duplicated across the N codebooks so the additive
+            # sum folds into one MXU contraction) + f32 out row
+            row = cfg.d_in * cfg.n_codebook * 2 + cand * 4
+            bt = int(avail // row) if avail > 0 else 0
+            bt = max(8, min(batch, bt, 256))
+            launches = -(-batch // bt)
+            key = (launches, -cand)
+            if best is None or key < best[0]:
+                best = (key, cand, bt)
+        return Tiling(block_j=best[1], lut_batch=best[2])
+    per_pair = g_pad * kp * 4  # packed i32 pair words per 2 tokens
+    lut_batch = 2 * max(1, min(8, int(budget * 0.5 / max(per_pair, 1))))
+    fixed = per_pair * min((batch + 1) // 2, lut_batch // 2)
     bj = 128
     for cand in (1024, 512, 256, 128):
         need = fixed + g_pad * cand + (batch * cand + cand) * 4

@@ -222,9 +222,13 @@ def dequant_matmul(
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
     tables: str = "bf16x2",
     interpret: bool | None = None,
+    batch_tile: int | None = None,
 ) -> jax.Array:
     """Batched fused dequant-matmul: ``(B, d_in) → (B, d_out)`` float32.
-    ``block_j=None`` uses the hardware-derived tiling (tune_tiling).
+    ``block_j``/``batch_tile`` default to the hardware-derived tiling
+    (tune_tiling), both sized against the 16 MiB Mosaic scoped-VMEM limit —
+    the n-duplicated x block at B=256 on 11008-wide layers exceeded it
+    (compile error) before the batch tile adapted.
 
     Weight tiles are reconstructed on-chip and consumed immediately by the
     MXU; HBM reads stay at codes + activations (+ small tables).  Batches
@@ -237,13 +241,15 @@ def dequant_matmul(
     from tpu_lutvq.kernels.lut_ctor import resolve_interpret
 
     interpret = resolve_interpret(interpret)
-    if block_j is None:
+    if block_j is None or batch_tile is None:
         from tpu_lutvq.dataflow.traffic import tune_tiling
 
-        block_j = tune_tiling(
+        t = tune_tiling(
             cfg, packed.d_out, min(x.shape[0], MAX_BATCH_TILE),
             strategy="dequant_mm",
-        ).block_j
+        )
+        block_j = block_j or t.block_j
+        batch_tile = batch_tile or t.lut_batch
     if cfg.n_cluster > 2 * LANE:
         raise ValueError("dequant_matmul supports K ≤ 256 (use load-time dequant for 1x16)")
     if packed.nibbles:
@@ -254,18 +260,19 @@ def dequant_matmul(
     if cfg.d_subvec % 2:
         tables = "f32"
     b_all = x.shape[0]
-    if b_all > MAX_BATCH_TILE:
+    if b_all > batch_tile:
         outs = [
             dequant_matmul(
                 cfg,
                 packed,
-                x[i : i + MAX_BATCH_TILE],
+                x[i : i + batch_tile],
                 block_j=block_j,
                 precision=precision,
                 tables=tables,
                 interpret=interpret,
+                batch_tile=batch_tile,
             )
-            for i in range(0, b_all, MAX_BATCH_TILE)
+            for i in range(0, b_all, batch_tile)
         ]
         return jnp.concatenate(outs, axis=0)
     b = b_all

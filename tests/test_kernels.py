@@ -125,6 +125,22 @@ def test_lut_gemv_batch_chunking(rng):
     )
 
 
+def test_dequant_matmul_nonlane_group_count(rng):
+    """2·m·n not a 128 multiple (e.g. 1B w_down geometry, m·n=1376): the v3
+    kernel zero-pads the x p-slice and the matching gather rows — the grid
+    BlockSpec requires lane-divisible blocks (regression: compile error)."""
+    cfg = VQConfig(344, 43, 2, 256, shared_codebook=True)  # 2mn = 172
+    params = init_vq_params(rng, cfg, 256, dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params, block_j=256)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 344), jnp.float32)
+    got = dequant_matmul(cfg, packed, x, interpret=True)
+    want = golden.lut_gemm(cfg, params, x)
+    s = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got) / s, np.asarray(want) / s, rtol=2e-2, atol=2e-2
+    )
+
+
 def test_build_lut_pads_lanes(rng):
     cfg = VQConfig(64, 8, 2, 16)
     params = init_vq_params(rng, cfg, 32, dtype=jnp.float32)

@@ -264,19 +264,18 @@ def tune_tiling(
         # resident: tables + x(batch_tile) + codes tile + out tile; pick the
         # widest block that still allows a useful batch tile, then size the
         # batch tile to fill what remains
-        # resident set: tables + x(batch_tile) + codes tile + out tile.  The
-        # tables are re-DMA'd per LAUNCH (batch chunk), so minimize launch
-        # count first (a narrow 11008-wide w_down fits only ~40 batch rows
-        # at bj=1024 → 7 launches × 11 MB of table traffic), widest block as
-        # the tiebreak.
-        tables = cfg.d_subvec // 2 * g_pad * kp * 4
-        best = None  # (launches, -bj, bj, bt)
+        # v3 kernel residency: ONE (g_pad, Kp) sub-table (the d/2 axis rides
+        # the grid) + codes tile + one x p-slice + out tile.  Minimize launch
+        # count (sub-tables re-stream per output tile within a launch),
+        # widest block as the tiebreak.
+        table1 = g_pad * kp * 4
+        # bf16 x p-slice row (2·m·n words, duplicated across codebooks so
+        # the additive sum folds into the MXU) + f32 out row
+        row = 2 * (cfg.d_in // cfg.d_subvec) * cfg.n_codebook * 2
+        best = None  # ((launches, -bj), bj, bt)
         for cand in (1024, 512, 256, 128):
-            avail = budget - tables - g_pad * cand
-            # bf16 x row (duplicated across the N codebooks so the additive
-            # sum folds into one MXU contraction) + f32 out row
-            row = cfg.d_in * cfg.n_codebook * 2 + cand * 4
-            bt = int(avail // row) if avail > 0 else 0
+            avail = budget - table1 - g_pad * cand
+            bt = int(avail // (row + cand * 4)) if avail > 0 else 0
             bt = max(8, min(batch, bt, 256))
             launches = -(-batch // bt)
             key = (launches, -cand)

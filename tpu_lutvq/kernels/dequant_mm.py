@@ -152,6 +152,83 @@ def _dequant_mm_bf16x2_kernel(
         out_ref[:, t * LANE : (t + 1) * LANE] = acc
 
 
+def _dequant_mm_bf16x2_kernel_v3(
+    tables_ref,  # (g_pad, Kp) i32 — ONE p-slice of the pair tables
+    codes_ref,  # (g_pad, bj) u8
+    x_ref,  # (b, 2mn) bf16 — this p's duplicated x slice
+    scales_ref,  # (1, bj) f32
+    out_ref,  # (b, bj) f32 — revisited (accumulated) across the p axis
+    *,
+    b,
+    m,
+    n,
+    k,
+    half,
+    block_j,
+    has_scales,
+    interpret,
+):
+    """bf16-pair variant, v3: the ``d/2`` weight-word-pair axis rides a
+    second grid dimension instead of a kernel loop over a fully resident
+    table stack.
+
+    Why: the resident (d/2·g_pad, Kp) tables of v2 hit the 16 MiB Mosaic
+    scoped-VMEM limit on fat-d_in layers (7B w_down: 11.3 MB tables alone),
+    forcing ~40-row batch tiles and 7 launches × 11 MB of table re-DMA per
+    256-token chunk.  With grid (n_j, d/2) — p innermost — only one
+    (g_pad, Kp) sub-table is resident per step, codes blocks are fetched
+    once per j, sub-tables re-stream once per output tile, and the batch
+    tile grows back to 256.  Output blocks accumulate across p (sequential
+    TPU grid); per-output scales apply once at the last p.
+    """
+    p = pl.program_id(1)
+    two_gather = k > LANE
+    # the x block's lane dim must be a 128 multiple; rows beyond m·n in the
+    # gather output are zeroed so the padded contraction is exact
+    sel_rows = _round_up(2 * m * n, LANE) // 2
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
+        if two_gather:
+            is_lo = idx < LANE
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+        else:
+            idx_g = idx
+        table = tables_ref[...]
+        if two_gather:
+            lo = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+            hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_g, axis=1)
+            sel = jnp.where(is_lo, lo, hi)
+        else:
+            sel = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+        sel = sel[: m * n, :]
+        if sel_rows > m * n:
+            sel = jnp.concatenate(
+                [sel, jnp.zeros((sel_rows - m * n, LANE), sel.dtype)], axis=0
+            )
+        pairs = _bitcast_pair_rows(sel, interpret)  # (2·sel_rows, 128)
+        part = jax.lax.dot_general(
+            x_ref[...],
+            pairs,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (b, 128)
+        ts = slice(t * LANE, (t + 1) * LANE)
+
+        @pl.when(p == 0)
+        def _init():
+            out_ref[:, ts] = part
+
+        @pl.when(p > 0)
+        def _accum():
+            out_ref[:, ts] = out_ref[:, ts] + part
+
+    if has_scales:
+
+        @pl.when(p == half - 1)
+        def _scale():
+            out_ref[...] = out_ref[...] * scales_ref[...]
+
+
 def _dequant_mm_kernel(
     tables_ref,
     codes_ref,
@@ -283,46 +360,135 @@ def dequant_matmul(
     bj = _resolve_block(d_out_pad, block_j)
     scales = packed.scales
     has_scales = scales is not None
+
+    if tables == "bf16x2":
+        half = d // 2
+        tbl = build_gather_tables_bf16x2(cfg, packed.codebook)
+        kp = tbl.shape[-1]
+        mn2 = 2 * m * n
+        # x columns ordered (p, nn, mm, w), duplicated across the codebook
+        # index nn so the N-sum folds into the MXU contraction:
+        # x2[b, p·2mn + nn·2m + 2mm + w] = x[b, mm·d + 2p + w]
+        xp = jnp.transpose(
+            x.astype(jnp.bfloat16).reshape(b, m, half, 2), (0, 2, 1, 3)
+        )  # (b, d/2, m, 2)
+        xp = jnp.broadcast_to(xp[:, :, None], (b, half, n, m, 2)).reshape(
+            b, half, mn2
+        )
+        # v2 (fully resident tables, one fat dot per tile) when the resident
+        # set fits the Mosaic scoped-VMEM budget — measured faster (gate
+        # B=128: 412 vs 513 µs; no sub-table re-streaming, one idx prep per
+        # tile).  v3 (d/2 on the grid) otherwise — fat-d_in layers where
+        # v2's tables alone approach the 16 MiB limit (w_down B=256: one
+        # launch at 2.1 µs/token vs 7 shrunken-batch launches).
+        budget = 0.9 * 16 * 2**20
+        v2_resident = (
+            half * g_pad * kp * 4 + b * half * mn2 * 2
+            + g_pad * bj + (b + 1) * bj * 4
+        )
+        if v2_resident <= budget:
+            x_perm = xp.reshape(b, half * mn2)
+            if scales is None:
+                scales = jnp.ones((1, bj), jnp.float32)
+                scale_spec = pl.BlockSpec(
+                    (1, bj), lambda j: (0, 0), memory_space=pltpu.VMEM
+                )
+            else:
+                scale_spec = pl.BlockSpec(
+                    (1, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+                )
+            out = pl.pallas_call(
+                functools.partial(
+                    _dequant_mm_bf16x2_kernel,
+                    b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
+                    block_j=bj, has_scales=has_scales, interpret=interpret,
+                ),
+                grid=(d_out_pad // bj,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (half * g_pad, kp), lambda j: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (b, half * mn2), lambda j: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    scale_spec,
+                ],
+                out_specs=pl.BlockSpec(
+                    (b, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
+                interpret=interpret,
+            )(tbl, packed.codes_t, x_perm, scales)
+            return out[:, :valid]
+
+        # pad each p-slice to a lane multiple (the kernel zero-pads the
+        # matching gather rows, so the contraction stays exact)
+        mn2_pad = _round_up(mn2, LANE)
+        if mn2_pad > mn2:
+            xp = jnp.pad(xp, ((0, 0), (0, 0), (0, mn2_pad - mn2)))
+        x_perm = xp.reshape(b, half * mn2_pad)
+        if scales is None:
+            scales = jnp.ones((1, bj), jnp.float32)
+            scale_spec = pl.BlockSpec(
+                (1, bj), lambda j, p: (0, 0), memory_space=pltpu.VMEM
+            )
+        else:
+            scale_spec = pl.BlockSpec(
+                (1, bj), lambda j, p: (0, j), memory_space=pltpu.VMEM
+            )
+        out = pl.pallas_call(
+            functools.partial(
+                _dequant_mm_bf16x2_kernel_v3,
+                b=b, m=m, n=n, k=cfg.n_cluster, half=half,
+                block_j=bj, has_scales=has_scales, interpret=interpret,
+            ),
+            # j outer, p inner: codes blocks fetched once per output tile,
+            # one sub-table resident at a time, out accumulated across p
+            grid=(d_out_pad // bj, half),
+            in_specs=[
+                pl.BlockSpec(
+                    (g_pad, kp), lambda j, p: (p, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (g_pad, bj), lambda j, p: (0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (b, mn2_pad), lambda j, p: (0, p), memory_space=pltpu.VMEM
+                ),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (b, bj), lambda j, p: (0, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
+            interpret=interpret,
+        )(tbl, packed.codes_t, x_perm, scales)
+        return out[:, :valid]
+
+    tbl = build_gather_tables(cfg, packed.codebook)
+    # columns ordered (w, m): x_perm[b, w*m + mm] = x[b, mm*d + w]
+    x_perm = jnp.transpose(
+        x.astype(jnp.float32).reshape(b, m, d), (0, 2, 1)
+    ).reshape(b, d * m)
+    kern = functools.partial(
+        _dequant_mm_kernel,
+        b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
+        block_j=bj, has_scales=has_scales, precision=precision,
+    )
+    table_rows = d * g_pad
+    scratch_shapes = [pltpu.VMEM((d * m, LANE), jnp.float32)]
+    x_cols = d * m
+    kp = tbl.shape[-1]
     if scales is None:
         scales = jnp.ones((1, bj), jnp.float32)
         scale_spec = pl.BlockSpec((1, bj), lambda j: (0, 0), memory_space=pltpu.VMEM)
     else:
         scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
-
-    if tables == "bf16x2":
-        tbl = build_gather_tables_bf16x2(cfg, packed.codebook)
-        # x columns ordered (p, nn, mm, w), duplicated across the codebook
-        # index nn so the N-sum folds into the MXU contraction:
-        # x2[b, p·2mn + nn·2m + 2mm + w] = x[b, mm·d + 2p + w]
-        xp = jnp.transpose(
-            x.astype(jnp.bfloat16).reshape(b, m, d // 2, 2), (0, 2, 1, 3)
-        )  # (b, d/2, m, 2)
-        x_perm = jnp.broadcast_to(
-            xp[:, :, None], (b, d // 2, n, m, 2)
-        ).reshape(b, d // 2 * n * 2 * m)
-        kern = functools.partial(
-            _dequant_mm_bf16x2_kernel,
-            b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
-            block_j=bj, has_scales=has_scales, interpret=interpret,
-        )
-        table_rows = d // 2 * g_pad
-        scratch_shapes = []
-        x_cols = d * m * n
-    else:
-        tbl = build_gather_tables(cfg, packed.codebook)
-        # columns ordered (w, m): x_perm[b, w*m + mm] = x[b, mm*d + w]
-        x_perm = jnp.transpose(
-            x.astype(jnp.float32).reshape(b, m, d), (0, 2, 1)
-        ).reshape(b, d * m)
-        kern = functools.partial(
-            _dequant_mm_kernel,
-            b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
-            block_j=bj, has_scales=has_scales, precision=precision,
-        )
-        table_rows = d * g_pad
-        scratch_shapes = [pltpu.VMEM((d * m, LANE), jnp.float32)]
-        x_cols = d * m
-    kp = tbl.shape[-1]
 
     out = pl.pallas_call(
         kern,

@@ -1,0 +1,57 @@
+"""Probe: scalar-prefetch grid spec (the TPU paged-attention pattern).
+
+Can a Pallas kernel's BlockSpec index_map read a prefetched scalar array
+(block table) to pick WHICH pool block each grid step streams?  This is the
+primitive behind paged KV attention on TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def kern(tbl_ref, pool_blk_ref, out_ref):
+    # accumulate the selected blocks
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += pool_blk_ref[...]
+
+
+def main():
+    n_blocks, bs, d = 16, 8, 128
+    pool = jnp.asarray(
+        np.arange(n_blocks * bs * d, dtype=np.float32).reshape(n_blocks * bs, d)
+    )
+    table = jnp.asarray([5, 2, 11], jnp.int32)  # visit these pool blocks
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(3,),
+        in_specs=[
+            pl.BlockSpec((bs, d), lambda i, tbl: (tbl[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((bs, d), lambda i, tbl: (0, 0)),
+    )
+    f = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bs, d), jnp.float32),
+    )
+    try:
+        r = np.asarray(jax.jit(f)(table, pool))
+        want = sum(
+            np.asarray(pool[b * bs : (b + 1) * bs]) for b in [5, 2, 11]
+        )
+        print("prefetch-indexed blocks: OK, matches:", np.array_equal(r, want))
+    except Exception as e:
+        print(f"FAIL {type(e).__name__}: {str(e)[:400]}")
+
+
+if __name__ == "__main__":
+    print(jax.devices())
+    main()

@@ -1,0 +1,189 @@
+"""Paged INT8 KV cache: equivalence with the slab cache, the paged flash
+kernel, and the block allocator (the 'INT8 paged KV-cache' capability from
+BASELINE.json / SURVEY.md §5, flagged missing in the round-1 review)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+from tpu_lutvq.models.paged_cache import BlockAllocator, PagedKVCache
+
+BS = 16  # small blocks for CPU tests (TPU serving uses 128)
+
+
+def _mk_paged(n_slots, max_seq, h, dh, n_blocks=None):
+    max_blocks = max_seq // BS
+    n_blocks = n_blocks or (1 + n_slots * max_blocks)
+    paged = PagedKVCache.init(n_blocks, n_slots, max_blocks, h, dh, BS)
+    alloc = BlockAllocator(n_blocks)
+    for s in range(n_slots):
+        paged = paged.set_table(s, alloc.alloc(max_blocks))
+    return paged, alloc
+
+
+def test_append_matches_slab(rng):
+    b, h, dh, s_max = 3, 2, 32, 64
+    slab = KVCache.init(b, s_max, h, dh)
+    paged, _ = _mk_paged(b, s_max, h, dh)
+    pos0 = jnp.asarray([0, 5, 17], jnp.int32)
+    for step in range(4):
+        k = jax.random.normal(jax.random.fold_in(rng, step), (b, 1, h, dh))
+        v = jax.random.normal(jax.random.fold_in(rng, 100 + step), (b, 1, h, dh))
+        slab = update_cache(slab, k, v, pos0 + step)
+        paged = paged.append(k, v, pos0 + step)
+    view = paged.window_view(s_max)
+    for name in ("k_q", "v_q", "k_scale", "v_scale"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(view, name)), np.asarray(getattr(slab, name)),
+            err_msg=name,
+        )
+
+
+def test_write_slot_matches_prefill_rows(rng):
+    h, dh, s_max, t = 2, 32, 64, 21
+    small = KVCache.init(1, s_max, h, dh)
+    k = jax.random.normal(rng, (1, t, h, dh))
+    v = jax.random.normal(jax.random.fold_in(rng, 1), (1, t, h, dh))
+    small = update_cache(small, k, v, jnp.int32(0))
+    paged, _ = _mk_paged(2, s_max, h, dh)
+    paged = paged.write_slot(small, 1, t)
+    view = paged.window_view(s_max)
+    np.testing.assert_array_equal(
+        np.asarray(view.k_q[1, :, :t]), np.asarray(small.k_q[0, :, :t])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(view.v_scale[1, :, :t]), np.asarray(small.v_scale[0, :, :t])
+    )
+
+
+def test_flash_paged_matches_view_attention(rng):
+    from tpu_lutvq.kernels.flash_decode import (
+        flash_decode_attention,
+        flash_decode_paged,
+    )
+
+    b, h, dh, s_max = 2, 2, 32, 64
+    paged, _ = _mk_paged(b, s_max, h, dh)
+    pos = jnp.asarray([12, 30], jnp.int32)
+    # fill rows 0..pos with data
+    for step in range(31):
+        k = jax.random.normal(jax.random.fold_in(rng, step), (b, 1, h, dh))
+        v = jax.random.normal(jax.random.fold_in(rng, 99 + step), (b, 1, h, dh))
+        paged = paged.append(k, v, jnp.minimum(jnp.full((b,), step), pos))
+    q = jax.random.normal(jax.random.fold_in(rng, 7), (b, h, dh))
+    got = flash_decode_paged(
+        q, paged.k_pool, paged.v_pool, paged.k_scale, paged.v_scale,
+        paged.block_tables, pos, window=32, interpret=True,
+    )
+    view = paged.window_view(32)
+    want = flash_decode_attention(
+        q, view.k_q, view.v_q, view.k_scale, view.v_scale, pos,
+        window=32, block_s=BS, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("attn", ["xla", "flash"])
+def test_llama_decode_paged_matches_slab(attn):
+    """Tiny model: decode steps over paged caches produce the same logits as
+    the slab caches (both write paths seeded by the same slab prefill)."""
+    from tpu_lutvq.models import LlamaConfig, init_llama
+    from tpu_lutvq.models.llama import init_caches, llama_forward
+
+    cfg = LlamaConfig.tiny(n_layers=2, max_seq=64)
+    weights = init_llama(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    b, t0 = 2, 5
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t0 + 3), 0,
+                                cfg.vocab_size)
+    caches = init_caches(cfg, b)
+    _, caches = llama_forward(
+        cfg, weights, tokens[:, :t0], caches, jnp.int32(0),
+        strategy="lut_gemv", interpret=True, variant="f32",
+    )
+    # build paged caches holding the same prefix: per-slot copy of each batch
+    # row via a B=1 slab view
+    paged = []
+    for li in range(cfg.n_layers):
+        p, _ = _mk_paged(b, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
+        for slot in range(b):
+            one = KVCache(*[leaf[slot : slot + 1] for leaf in caches[li]])
+            p = p.write_slot(one, slot, t0)
+        paged.append(p)
+    paged = tuple(paged)
+
+    pos = jnp.full((b,), t0, jnp.int32)
+    for step in range(2):
+        tok = tokens[:, t0 + step : t0 + step + 1]
+        l_slab, caches = llama_forward(
+            cfg, weights, tok, caches, pos + step, strategy="lut_gemv",
+            interpret=True, variant="f32", window=32, attn=attn,
+        )
+        l_paged, paged = llama_forward(
+            cfg, weights, tok, paged, pos + step, strategy="lut_gemv",
+            interpret=True, variant="f32", window=32, attn=attn,
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_paged), np.asarray(l_slab), rtol=2e-4, atol=2e-4,
+            err_msg=f"step {step} attn={attn}",
+        )
+
+
+def test_paged_batcher_matches_slab():
+    """ContinuousBatcher(paged_blocks=...) reproduces the slab batcher's
+    greedy outputs with a pool SMALLER than slots × max_seq, recycling
+    blocks as requests finish (the point of paging)."""
+    from tpu_lutvq.models import LlamaConfig, init_llama
+    from tpu_lutvq.runtime import ContinuousBatcher, Request
+
+    cfg = LlamaConfig.tiny(n_layers=1, max_seq=64)
+    weights = init_llama(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9]]
+    max_new = [6, 4, 5]
+    kw = dict(strategy="dequant_mm", interpret=True)
+
+    outs = {}
+    for mode in ("slab", "paged"):
+        extra = {}
+        if mode == "paged":
+            # 2 slots × 64 max_seq would need 2·4 BS=16 blocks as a slab;
+            # give the pool 7 usable blocks (< 8): recycling must kick in
+            extra = dict(paged_blocks=8, paged_block_size=16)
+        b = ContinuousBatcher(cfg, weights, n_slots=2, **kw, **extra)
+        for i, (p, mn) in enumerate(zip(prompts, max_new)):
+            b.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+        done = b.run(max_steps=50)
+        outs[mode] = {r.req_id: r.output for r in done}
+        assert len(done) == 3
+    assert outs["paged"] == outs["slab"], (outs["paged"], outs["slab"])
+
+
+def test_paged_batcher_horizon():
+    from tpu_lutvq.models import LlamaConfig, init_llama
+    from tpu_lutvq.runtime import ContinuousBatcher, Request
+
+    cfg = LlamaConfig.tiny(n_layers=1, max_seq=64)
+    weights = init_llama(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    kw = dict(strategy="dequant_mm", interpret=True)
+    outs = {}
+    for horizon in (1, 4):
+        b = ContinuousBatcher(
+            cfg, weights, n_slots=2, paged_blocks=12, paged_block_size=16, **kw
+        )
+        for i, p in enumerate([[1, 2, 3], [4, 5]]):
+            b.submit(Request(req_id=i, prompt=p, max_new_tokens=5))
+        done = b.run(max_steps=40, horizon=horizon)
+        outs[horizon] = {r.req_id: r.output for r in done}
+    assert outs[1] == outs[4], (outs[1], outs[4])
+
+
+def test_allocator_alloc_release():
+    a = BlockAllocator(8)  # 7 usable (block 0 reserved)
+    got = a.alloc(7)
+    assert 0 not in got and len(set(got)) == 7
+    with pytest.raises(RuntimeError, match="exhausted"):
+        a.alloc(1)
+    a.release(got[:3])
+    assert len(a.alloc(3)) == 3

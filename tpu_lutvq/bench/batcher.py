@@ -32,6 +32,7 @@ def run(
     horizons: tuple = (1, 8),
     strategy: str = "auto",
     interpret: bool | None = None,
+    paged_blocks: int | None = None,
 ) -> list[dict]:
     cfg = LlamaConfig(**MODELS[model])
 
@@ -42,8 +43,13 @@ def run(
     weights = build(jax.random.PRNGKey(0))
     rows = []
     for horizon in horizons:
+        paged_kw = (
+            dict(paged_blocks=paged_blocks, attn="flash")
+            if paged_blocks else {}
+        )
         batcher = ContinuousBatcher(
-            cfg, weights, n_slots=slots, strategy=strategy, interpret=interpret
+            cfg, weights, n_slots=slots, strategy=strategy,
+            interpret=interpret, **paged_kw,
         )
 
         def submit_all(b):
@@ -77,6 +83,7 @@ def run(
         rows.append(
             {
                 "Model": model,
+                "Paged": bool(paged_blocks),
                 "Slots": slots,
                 "Horizon": horizon,
                 "Requests": n_requests,
@@ -86,7 +93,8 @@ def run(
             }
         )
         print(
-            f"{model} slots={slots} horizon={horizon}: {toks} tokens in "
+            f"{model}{' paged' if paged_blocks else ''} slots={slots} "
+            f"horizon={horizon}: {toks} tokens in "
             f"{dt:.2f}s -> {toks/dt:.1f} tok/s",
             flush=True,
         )
@@ -103,6 +111,8 @@ def main() -> None:
     ap.add_argument("--strategy", default="auto")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--paged", type=int, default=None,
+                    help="paged KV pool size in blocks (128 tokens each)")
     args = ap.parse_args()
     rows = run(
         model=args.model,
@@ -112,6 +122,7 @@ def main() -> None:
         horizons=tuple(int(h) for h in args.horizons.split(",")),
         strategy=args.strategy,
         interpret=args.interpret or None,
+        paged_blocks=args.paged,
     )
     if args.csv:
         write_csv(args.csv, rows)

@@ -109,6 +109,150 @@ def _kernel(
         o_ref[0, 0] = acc_ref[...] / l_ref[:, :1]
 
 
+def _kernel_paged(
+    pos_ref,  # (B,) i32 scalar-prefetch
+    tbl_ref,  # (B, MAXB) i32 scalar-prefetch: block tables
+    q_ref,    # (1, 1, rep, Dh)
+    k_ref,    # (1, 1, BS, Dh) — pool block picked by table index
+    v_ref,    # (1, 1, BS, Dh)
+    ks_ref,   # (1, 1, BS) f32
+    vs_ref,   # (1, 1, BS) f32
+    o_ref,    # (1, 1, rep, Dh)
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    block_s: int,
+    sm_scale: float,
+    quantized: bool,
+):
+    """Paged flash-decode: identical online-softmax recurrence, but each
+    sequence block streams from the POOL block named by the slot's block
+    table (scalar-prefetch BlockSpec indexing) — no gather copy, memory at
+    the pool's token budget instead of slots × max_seq."""
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    last = pl.num_programs(2) - 1
+    pos_b = pos_ref[b]
+    start = s * block_s
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(start <= pos_b)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.bfloat16)
+        k = k_ref[0, 0].astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        if quantized:
+            scores = scores * ks_ref[0, 0]  # (1, BS)
+        span = start + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(span <= pos_b, scores, NEG_INF)
+        m_prev = m_ref[...]
+        s_max = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, s_max)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new[:, :1])
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_new
+        if quantized:
+            p = p * vs_ref[0, 0]
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(s == last)
+    def _finalize():
+        o_ref[0, 0] = acc_ref[...] / l_ref[:, :1]
+
+
+def flash_decode_paged(
+    q: jax.Array,          # (B, H, Dh) single-token queries, post-RoPE
+    k_pool: jax.Array,     # (N, H_kv, BS, Dh) int8|bf16 pool
+    v_pool: jax.Array,
+    k_scale: jax.Array,    # (N, H_kv, BS) f32
+    v_scale: jax.Array,
+    block_tables: jax.Array,  # (B, MAXB) i32
+    pos: jax.Array,        # (B,)
+    *,
+    window: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Paged single-step attention: ``(B, H, Dh)`` float32.  ``window``
+    bounds the blocks visited (rounded up to whole pool blocks)."""
+    interpret = resolve_interpret(interpret)
+    b, h, dh = q.shape
+    hkv, bs = k_pool.shape[1], k_pool.shape[2]
+    rep = h // hkv
+    assert h == hkv * rep
+    nblk = min(-(-window // bs), block_tables.shape[1])
+    quantized = k_pool.dtype == jnp.int8
+    sm_scale = 1.0 / (dh ** 0.5)
+
+    if dh < LANE:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, LANE - dh)))
+        padp = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, LANE - dh)))
+        k_pool, v_pool = padp(k_pool), padp(v_pool)
+    dhp = q.shape[-1]
+    q4 = q.reshape(b, hkv, rep, dhp)
+    ks3 = k_scale[:, :, None, :]  # (N, H, 1, BS): lane dim = BS for blocking
+    vs3 = v_scale[:, :, None, :]
+
+    kern = functools.partial(
+        _kernel_paged, block_s=bs, sm_scale=sm_scale, quantized=quantized
+    )
+    grid = (b, hkv, nblk)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, rep, dhp), lambda b, h, s, *_: (b, h, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, bs, dhp), lambda b, h, s, pos, tbl: (tbl[b, s], h, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, bs, dhp), lambda b, h, s, pos, tbl: (tbl[b, s], h, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, bs), lambda b, h, s, pos, tbl: (tbl[b, s], h, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, bs), lambda b, h, s, pos, tbl: (tbl[b, s], h, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rep, dhp), lambda b, h, s, *_: (b, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rep, LANE), jnp.float32),
+                pltpu.VMEM((rep, LANE), jnp.float32),
+                pltpu.VMEM((rep, dhp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, dhp), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(pos, jnp.int32),
+        jnp.asarray(block_tables, jnp.int32),
+        q4,
+        k_pool,
+        v_pool,
+        ks3,
+        vs3,
+    )
+    return out.reshape(b, h, dhp)[..., :dh]
+
+
 def flash_decode_attention(
     q: jax.Array,        # (B, H, Dh) — single-token queries, post-RoPE
     k_q: jax.Array,      # (B, H_kv, S, Dh) int8 or bf16

@@ -304,7 +304,33 @@ def _block(
     tpos = pos[:, None] + jnp.arange(t)[None, :]  # (B, T)
     q = rope(q, tpos, cfg.rope_theta)
     k = rope(k, tpos, cfg.rope_theta)
-    if stacked is None:
+    if stacked is None and type(cache).__name__ == "PagedKVCache":
+        # paged pool: scatter the new row into each slot's current block,
+        # then attend over the window's blocks — streamed directly by block
+        # table inside the paged flash kernel, or gathered into a slab view
+        # for the XLA oracle path
+        if t != 1:
+            raise ValueError(
+                "paged caches decode one token per step; prefill runs on a "
+                "B=1 slab cache and is copied in via PagedKVCache.write_slot"
+            )
+        cache = cache.append(k, v, pos)
+        w = window if window is not None else cache.max_seq
+        if attn == "flash":
+            from tpu_lutvq.kernels.flash_decode import flash_decode_paged
+
+            out = flash_decode_paged(
+                q[:, 0], cache.k_pool, cache.v_pool, cache.k_scale,
+                cache.v_scale, cache.block_tables, pos, window=w,
+                interpret=interpret,
+            )
+            attn_out_raw = out.reshape(b, 1, cfg.n_heads * cfg.head_dim)
+        else:
+            view = cache.window_view(w)
+            attn_out_raw = _attention_window(
+                cfg, q, view, pos, min(w, view.max_seq)
+            )
+    elif stacked is None:
         cache = update_cache(cache, k, v, pos)
         attn_out_raw = _attention(cfg, q, cache, pos, window, attn, interpret)
     else:

@@ -1,0 +1,198 @@
+"""Paged INT8 KV cache — block pool + per-slot block tables.
+
+The slab cache (kv_cache.py) reserves ``n_slots × max_seq`` rows regardless
+of actual sequence lengths; the north star calls for an "INT8 **paged**
+KV-cache" (BASELINE.json / SURVEY.md §5, flagged in the round-1 review).
+This module provides it TPU-natively:
+
+- one **pool** of fixed-size blocks per layer, ``(n_blocks, H_kv, BS, Dh)``
+  int8 (+ per-row scale planes) — memory scales with TOKENS IN FLIGHT, not
+  slots × max_seq;
+- per-slot **block tables** ``(n_slots, max_blocks) int32`` mapping each
+  slot's sequence blocks to pool blocks (allocated/freed host-side by the
+  batcher's allocator);
+- decode appends scatter exactly one row per sequence; attention either
+  gathers the window's blocks into a slab view (XLA path, traffic equal to
+  the bucketed slab read) or streams pool blocks directly by table index
+  inside the flash kernel (``kernels.flash_decode.flash_decode_paged`` —
+  scalar-prefetch BlockSpec indexing, zero gather copy).
+
+The same quantization (symmetric per-row int8) and causal semantics as the
+slab cache; equivalence is asserted in tests/test_paged.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.models.kv_cache import KVCache, quantize_kv
+
+DEFAULT_BLOCK = 128  # tokens per block (= flash kernel block_s)
+
+
+class PagedKVCache(NamedTuple):
+    """One layer's paged cache.
+
+    k_pool / v_pool:     (n_blocks, H_kv, BS, Dh) int8 (or bf16)
+    k_scale / v_scale:   (n_blocks, H_kv, BS) f32
+    block_tables:        (n_slots, max_blocks) int32 pool-block ids
+    """
+
+    k_pool: jax.Array
+    v_pool: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+    block_tables: jax.Array
+
+    @property
+    def block_size(self) -> int:
+        return self.k_pool.shape[2]
+
+    @property
+    def n_blocks(self) -> int:
+        return self.k_pool.shape[0]
+
+    @property
+    def max_blocks(self) -> int:
+        return self.block_tables.shape[1]
+
+    @property
+    def max_seq(self) -> int:  # interface parity with KVCache
+        return self.max_blocks * self.block_size
+
+    @classmethod
+    def init(
+        cls,
+        n_blocks: int,
+        n_slots: int,
+        max_blocks: int,
+        n_kv_heads: int,
+        head_dim: int,
+        block_size: int = DEFAULT_BLOCK,
+        dtype=jnp.int8,
+    ) -> "PagedKVCache":
+        return cls(
+            k_pool=jnp.zeros((n_blocks, n_kv_heads, block_size, head_dim), dtype),
+            v_pool=jnp.zeros((n_blocks, n_kv_heads, block_size, head_dim), dtype),
+            k_scale=jnp.ones((n_blocks, n_kv_heads, block_size), jnp.float32),
+            v_scale=jnp.ones((n_blocks, n_kv_heads, block_size), jnp.float32),
+            block_tables=jnp.zeros((n_slots, max_blocks), jnp.int32),
+        )
+
+    # --- writes ---
+
+    def append(self, k: jax.Array, v: jax.Array, pos: jax.Array) -> "PagedKVCache":
+        """Insert ONE new token per slot: k/v (B, 1, H, Dh), pos (B,).
+
+        The target pool block is ``block_tables[b, pos_b // BS]`` at offset
+        ``pos_b % BS`` — a batched scatter touching B rows total."""
+        b = k.shape[0]
+        bs = self.block_size
+        k = k[:, 0].astype(jnp.float32)  # (B, H, Dh)
+        v = v[:, 0].astype(jnp.float32)
+        if self.k_pool.dtype == jnp.int8:
+            k_q, k_s = quantize_kv(k)
+            v_q, v_s = quantize_kv(v)
+        else:
+            k_q, v_q = k.astype(self.k_pool.dtype), v.astype(self.v_pool.dtype)
+            k_s = jnp.ones(k.shape[:-1], jnp.float32)
+            v_s = jnp.ones(v.shape[:-1], jnp.float32)
+        pos = jnp.asarray(pos, jnp.int32)
+        blk = jnp.take_along_axis(
+            self.block_tables, (pos // bs)[:, None], axis=1
+        )[:, 0]  # (B,)
+        off = pos % bs
+        h = self.k_pool.shape[1]
+        bi = blk[:, None]  # (B, 1)
+        hi = jnp.arange(h)[None, :]  # (1, H)
+        oi = off[:, None]  # (B, 1)
+        return self._replace(
+            k_pool=self.k_pool.at[bi, hi, oi].set(k_q.astype(self.k_pool.dtype)),
+            v_pool=self.v_pool.at[bi, hi, oi].set(v_q.astype(self.v_pool.dtype)),
+            k_scale=self.k_scale.at[bi, hi, oi].set(k_s),
+            v_scale=self.v_scale.at[bi, hi, oi].set(v_s),
+        )
+
+    def write_slot(self, small: KVCache, slot, t: int) -> "PagedKVCache":
+        """Admission: copy the first ``t`` rows of a B=1 slab cache (from the
+        prefill) into slot ``slot``'s blocks."""
+        bs = self.block_size
+        slot = jnp.asarray(slot, jnp.int32)
+        rows = jnp.arange(t)
+        blk = self.block_tables[slot][rows // bs]  # (t,)
+        off = rows % bs
+        h = self.k_pool.shape[1]
+        bi = blk[:, None]
+        hi = jnp.arange(h)[None, :]
+        oi = off[:, None]
+        # small leaves: (1, H, S, Dh) / (1, H, S)
+        put4 = lambda pool, src: pool.at[bi, hi, oi].set(
+            jnp.transpose(src[0, :, :t], (1, 0, 2)).astype(pool.dtype)
+        )
+        put3 = lambda pool, src: pool.at[bi, hi, oi].set(
+            jnp.transpose(src[0, :, :t], (1, 0))
+        )
+        return self._replace(
+            k_pool=put4(self.k_pool, small.k_q),
+            v_pool=put4(self.v_pool, small.v_q),
+            k_scale=put3(self.k_scale, small.k_scale),
+            v_scale=put3(self.v_scale, small.v_scale),
+        )
+
+    def set_table(self, slot: int, blocks) -> "PagedKVCache":
+        """Host-side table update (allocator): assign pool blocks to a slot."""
+        blocks = jnp.asarray(blocks, jnp.int32)
+        padded = jnp.zeros((self.max_blocks,), jnp.int32).at[: blocks.shape[0]].set(
+            blocks
+        )
+        return self._replace(
+            block_tables=self.block_tables.at[slot].set(padded)
+        )
+
+    # --- reads ---
+
+    def window_view(self, window: int) -> KVCache:
+        """Gather each slot's first ``ceil(window/BS)`` blocks into a slab
+        ``KVCache`` view ``(B, H, W, Dh)`` (the XLA attention path; the
+        gather copy equals the bucketed read the slab path pays anyway)."""
+        bs = self.block_size
+        nblk = min(-(-window // bs), self.max_blocks)
+        tbl = self.block_tables[:, :nblk]  # (B, nblk)
+        b = tbl.shape[0]
+
+        def gather(pool):
+            g = pool[tbl]  # (B, nblk, H, BS, ...)
+            g = jnp.moveaxis(g, 2, 1)  # (B, H, nblk, BS, ...)
+            return g.reshape((b, pool.shape[1], nblk * bs) + pool.shape[3:])
+
+        return KVCache(
+            k_q=gather(self.k_pool),
+            v_q=gather(self.v_pool),
+            k_scale=gather(self.k_scale),
+            v_scale=gather(self.v_scale),
+        )
+
+
+class BlockAllocator:
+    """Host-side free-list allocator over the pool (the batcher's partner).
+
+    Block 0 is reserved as the junk block (inactive slots' tables point at
+    it; the causal mask keeps it unread for real queries)."""
+
+    def __init__(self, n_blocks: int):
+        self.free = list(range(n_blocks - 1, 0, -1))  # block 0 reserved
+
+    def alloc(self, n: int) -> list[int]:
+        if n > len(self.free):
+            raise RuntimeError(
+                f"KV pool exhausted: need {n} blocks, {len(self.free)} free"
+            )
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, blocks) -> None:
+        for blk in blocks:
+            if blk:  # never return the reserved junk block
+                self.free.append(int(blk))

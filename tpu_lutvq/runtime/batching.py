@@ -59,27 +59,66 @@ class ContinuousBatcher:
         prefill_fn=None,
         step_fn=None,
         cache_factory=None,
+        paged_blocks: Optional[int] = None,
+        paged_block_size: int = 128,
+        attn: str = "xla",
     ):
         """prefill_fn/step_fn/cache_factory override the device programs —
         pass ``make_tp_prefill(...)`` / ``make_tp_decode_step(...)`` /
         ``init_tp_caches`` partials to serve tensor-parallel over a mesh
-        (the north star's "continuous batching + TP" configuration)."""
+        (the north star's "continuous batching + TP" configuration).
+
+        ``paged_blocks`` switches the KV cache to the paged pool
+        (models/paged_cache.py): that many blocks of ``paged_block_size``
+        tokens per layer, shared by all slots — memory scales with tokens
+        in flight instead of slots × max_seq.  The admission allocator
+        assigns each request ``ceil((T0+max_new)/BS)+1`` blocks (the +1
+        absorbs horizon overshoot) and frees them on completion; freed
+        slots' tables point at the reserved junk block 0 so inactive-slot
+        writes can never corrupt reassigned blocks."""
         self.cfg = cfg
         self.weights = weights
         self.n_slots = n_slots
+        self.attn = attn
         self.pending: list[Request] = []
         self.active: list[Optional[Request]] = [None] * n_slots
         self.slot_pos = np.zeros(n_slots, np.int32)  # next write position
-        cache_factory = cache_factory or init_caches
-        self._cache_factory = cache_factory
-        self.caches = cache_factory(cfg, n_slots)
+        self.paged = paged_blocks is not None
+        if self.paged:
+            if prefill_fn is not None or step_fn is not None:
+                raise ValueError("paged mode uses the default device programs")
+            from tpu_lutvq.models.paged_cache import (
+                BlockAllocator,
+                PagedKVCache,
+            )
+
+            bs = paged_block_size
+            self._bs = bs
+            self._max_blocks = -(-cfg.max_seq // bs)
+            self.caches = tuple(
+                PagedKVCache.init(
+                    paged_blocks, n_slots, self._max_blocks,
+                    cfg.n_kv_heads, cfg.head_dim, bs,
+                    dtype=jnp.int8 if cfg.kv_dtype == "int8" else jnp.bfloat16,
+                )
+                for _ in range(cfg.n_layers)
+            )
+            self._alloc = BlockAllocator(paged_blocks)
+            self._slot_blocks: list[Optional[list]] = [None] * n_slots
+            self._slot_capacity = np.zeros(n_slots, np.int64)
+            self._cache_factory = init_caches  # B=1 slab for admission prefill
+        else:
+            cache_factory = cache_factory or init_caches
+            self._cache_factory = cache_factory
+            self.caches = cache_factory(cfg, n_slots)
         self.key = jax.random.PRNGKey(seed)
         self._prefill = prefill_fn or jax.jit(
             functools.partial(llama_forward, cfg, strategy=strategy, interpret=interpret)
         )
         self._step = step_fn or jax.jit(
             functools.partial(
-                llama_decode_step, cfg, strategy=strategy, interpret=interpret
+                llama_decode_step, cfg, strategy=strategy, interpret=interpret,
+                attn=attn,
             )
         )
         self._sample = jax.jit(sample_logits_vec)
@@ -88,7 +127,28 @@ class ContinuousBatcher:
         # unfused route paid one dispatch per layer for the cache scatter —
         # ~n_layers x 35 ms of tunnel RTT per admission.
         self._admit_fused = None
-        if prefill_fn is None and cache_factory is init_caches:
+        if self.paged:
+            raw_prefill = functools.partial(
+                llama_forward, cfg, strategy=strategy, interpret=interpret
+            )
+
+            def admit_paged(weights, prompt, caches, slot, table_row, temp,
+                            key, t0):
+                small = init_caches(cfg, 1)
+                logits, small = raw_prefill(weights, prompt, small, jnp.int32(0))
+                new = []
+                for pc, sc in zip(caches, small):
+                    pc = pc._replace(
+                        block_tables=pc.block_tables.at[slot].set(table_row)
+                    )
+                    new.append(pc.write_slot(sc, slot, t0))
+                tok = sample_logits_vec(logits[:, -1], key, temp[None])
+                return tok[0], tuple(new)
+
+            self._admit_paged = jax.jit(
+                admit_paged, donate_argnums=(2,), static_argnames=("t0",)
+            )
+        elif prefill_fn is None and cache_factory is init_caches:
             raw_prefill = functools.partial(
                 llama_forward, cfg, strategy=strategy, interpret=interpret
             )
@@ -112,7 +172,8 @@ class ContinuousBatcher:
         self._roll = None
         if step_fn is None:
             raw_step = functools.partial(
-                llama_decode_step, cfg, strategy=strategy, interpret=interpret
+                llama_decode_step, cfg, strategy=strategy, interpret=interpret,
+                attn=attn,
             )
 
             def roll(weights, tokens, caches, pos, temps, key, horizon):
@@ -152,6 +213,28 @@ class ContinuousBatcher:
 
     # -- scheduler internals --
 
+    def _release_slot(self, slot: int) -> None:
+        """Paged mode: return the slot's blocks to the pool and point its
+        table at the reserved junk block 0 (inactive slots keep decoding
+        garbage rows; they must never land in reassigned blocks)."""
+        if not self.paged or self._slot_blocks[slot] is None:
+            return
+        self._alloc.release(self._slot_blocks[slot])
+        self._slot_blocks[slot] = None
+        self._slot_capacity[slot] = 0
+        if not hasattr(self, "_clear_table"):
+            mb = self._max_blocks
+
+            def clear(caches, slot):
+                zero = jnp.zeros((mb,), jnp.int32)
+                return tuple(
+                    pc._replace(block_tables=pc.block_tables.at[slot].set(zero))
+                    for pc in caches
+                )
+
+            self._clear_table = jax.jit(clear, donate_argnums=(0,))
+        self.caches = self._clear_table(self.caches, jnp.int32(slot))
+
     def _admit(self) -> None:
         for slot in range(self.n_slots):
             if self.active[slot] is not None or not self.pending:
@@ -159,7 +242,24 @@ class ContinuousBatcher:
             req = self.pending.pop(0)
             prompt = jnp.asarray([req.prompt], jnp.int32)  # (1, T0)
             self.key, sub = jax.random.split(self.key)
-            if self._admit_fused is not None:
+            if self.paged:
+                t0 = len(req.prompt)
+                need = min(
+                    -(-(t0 + req.max_new_tokens) // self._bs) + 1,
+                    self._max_blocks,
+                )
+                blocks = self._alloc.alloc(need)
+                self._slot_blocks[slot] = blocks
+                self._slot_capacity[slot] = len(blocks) * self._bs
+                table_row = np.zeros(self._max_blocks, np.int32)
+                table_row[: len(blocks)] = blocks
+                tok_dev, self.caches = self._admit_paged(
+                    self.weights, prompt, self.caches, jnp.int32(slot),
+                    jnp.asarray(table_row), jnp.float32(req.temperature),
+                    sub, t0=t0,
+                )
+                tok = int(tok_dev)
+            elif self._admit_fused is not None:
                 tok_dev, self.caches = self._admit_fused(
                     self.weights, prompt, self.caches, jnp.int32(slot),
                     jnp.float32(req.temperature), sub,
@@ -182,6 +282,7 @@ class ContinuousBatcher:
                 self.slot_pos[slot] = len(req.prompt) + 1
             else:
                 self.completed.append(req)
+                self._release_slot(slot)
 
     def _maybe_finish(self, req: Request, slot_len: int) -> None:
         if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
@@ -208,11 +309,17 @@ class ContinuousBatcher:
             pos[i] = self.slot_pos[i] - 1  # position of the token being fed
             temps[i] = self.active[i].temperature
         self.key, sub = jax.random.split(self.key)
-        # a horizon roll must never write cache rows past max_seq; near the
-        # end of any active sequence, fall back to single-step (keeps the
-        # compiled-program set at {1, horizon} instead of one per residue)
+        # a horizon roll must never write cache rows past max_seq (paged:
+        # past the slot's allocated blocks); near the end of any active
+        # sequence, fall back to single-step (keeps the compiled-program set
+        # at {1, horizon} instead of one per residue)
+        def _cap(i):
+            return (
+                int(self._slot_capacity[i]) if self.paged else self.cfg.max_seq
+            )
+
         if horizon > 1 and any(
-            int(self.slot_pos[i]) - 1 + horizon > self.cfg.max_seq for i in slots
+            int(self.slot_pos[i]) - 1 + horizon > _cap(i) for i in slots
         ):
             horizon = 1
         if horizon > 1 and self._roll is not None:
@@ -239,3 +346,4 @@ class ContinuousBatcher:
             if req.done:
                 self.completed.append(req)
                 self.active[i] = None
+                self._release_slot(i)

@@ -179,6 +179,30 @@ def test_paged_batcher_horizon():
     assert outs[1] == outs[4], (outs[1], outs[4])
 
 
+def test_paged_batcher_backpressure():
+    """Pool exhaustion defers admission (backpressure) instead of crashing;
+    an impossible request is rejected at submit."""
+    from tpu_lutvq.models import LlamaConfig, init_llama
+    from tpu_lutvq.runtime import ContinuousBatcher, Request
+
+    cfg = LlamaConfig.tiny(n_layers=1, max_seq=64)
+    weights = init_llama(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        cfg, weights, n_slots=2, paged_blocks=4, paged_block_size=16,
+        strategy="dequant_mm", interpret=True,
+    )
+    with pytest.raises(ValueError, match="never run"):
+        # needs min(ceil(60/16)+1, 4) = 4 blocks; pool has 3 usable
+        b.submit(Request(req_id=9, prompt=[1] * 40, max_new_tokens=20))
+    # each request needs ceil(8/16)+1 = 2 blocks; pool has 3 usable → the
+    # second admission defers until the first completes, then proceeds
+    for i in range(3):
+        b.submit(Request(req_id=i, prompt=[1, 2, 3], max_new_tokens=4))
+    done = b.run(max_steps=40)
+    assert sorted(r.req_id for r in done) == [0, 1, 2]
+    assert all(len(r.output) == 4 for r in done)
+
+
 def test_allocator_alloc_release():
     a = BlockAllocator(8)  # 7 usable (block 0 reserved)
     got = a.alloc(7)

@@ -104,6 +104,7 @@ class ContinuousBatcher:
                 for _ in range(cfg.n_layers)
             )
             self._alloc = BlockAllocator(paged_blocks)
+            self._alloc_capacity = len(self._alloc.free)
             self._slot_blocks: list[Optional[list]] = [None] * n_slots
             self._slot_capacity = np.zeros(n_slots, np.int64)
             self._cache_factory = init_caches  # B=1 slab for admission prefill
@@ -197,6 +198,16 @@ class ContinuousBatcher:
     def submit(self, req: Request) -> None:
         if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq:
             raise ValueError("request exceeds max_seq")
+        if self.paged:
+            need = min(
+                -(-(len(req.prompt) + req.max_new_tokens) // self._bs) + 1,
+                self._max_blocks,
+            )
+            if need > self._alloc_capacity:
+                raise ValueError(
+                    f"request needs {need} KV blocks but the pool has only "
+                    f"{self._alloc_capacity} usable — it could never run"
+                )
         self.pending.append(req)
 
     @property
@@ -248,6 +259,11 @@ class ContinuousBatcher:
                     -(-(t0 + req.max_new_tokens) // self._bs) + 1,
                     self._max_blocks,
                 )
+                if need > len(self._alloc.free):
+                    # pool exhausted: defer admission until running requests
+                    # complete and release blocks (backpressure, not a crash)
+                    self.pending.insert(0, req)
+                    break
                 blocks = self._alloc.alloc(need)
                 self._slot_blocks[slot] = blocks
                 self._slot_capacity[slot] = len(blocks) * self._bs

@@ -31,6 +31,7 @@ KERNEL_CFGS = [
     [
         ("f32", 1e-5),      # two-gather f32 tables: the precision oracle
         ("pair", 2e-2),     # bf16 (k, k+128)-pair words, one gather
+        ("pairf", 2e-2),    # pair with the word packing done in-kernel
         ("bpair", 2e-2),    # bf16 token-pair words, one gather per 2 tokens
         ("i8", 5e-2),       # int8 entries + exact int32 MXU accumulate
         ("auto", 2e-2),
@@ -39,8 +40,10 @@ KERNEL_CFGS = [
 @pytest.mark.parametrize("cfg,d_out,batch", KERNEL_CFGS)
 @pytest.mark.parametrize("with_scales", [False, True])
 def test_lut_gemv_matches_golden(rng, cfg, d_out, batch, with_scales, variant, tol):
-    if variant == "pair" and cfg.n_cluster <= 128:
-        pytest.skip("pair variant is the K=256 path (K≤128 falls back to f32)")
+    if variant in ("pair", "pairf") and cfg.n_cluster <= 128:
+        pytest.skip("pair variants are the K=256 path (K≤128 falls back to f32)")
+    if variant == "pairf" and batch != 1:
+        pytest.skip("pairf is the B=1 in-kernel-pack variant")
     params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=with_scales)
     packed = pack_params(cfg, params, block_j=256)
     x = jax.random.normal(jax.random.PRNGKey(3), (batch, cfg.d_in), dtype=jnp.float32)
@@ -122,6 +125,20 @@ def test_lut_gemv_batch_chunking(rng):
     scale = float(jnp.abs(want).max())
     np.testing.assert_allclose(
         np.asarray(got) / scale, np.asarray(want) / scale, rtol=1e-2, atol=1e-2
+    )
+
+
+def test_lut_gemv_pairf_matches_pair(rng):
+    """In-kernel pair packing (pairf) is bit-equivalent to the XLA-side pack
+    (pair): same bf16 rounding, same gather/shift/bitcast/MXU chain."""
+    cfg = aqlm_2x8(256, group=8)
+    params = init_vq_params(rng, cfg, 384, dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params, block_j=256)
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, cfg.d_in), jnp.float32)
+    y_pair = lut_gemv(cfg, packed, x, block_j=256, interpret=True, variant="pair")
+    y_pairf = lut_gemv(cfg, packed, x, block_j=256, interpret=True, variant="pairf")
+    np.testing.assert_allclose(
+        np.asarray(y_pairf), np.asarray(y_pair), rtol=1e-6, atol=1e-6
     )
 
 

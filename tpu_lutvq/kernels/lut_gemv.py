@@ -199,7 +199,7 @@ def resolve_variant(variant: str, *, nibbles: bool, batch: int, k: int) -> str:
         return "nibbles"
     if variant == "auto":
         variant = ("pair" if k > LANE else "f32") if batch == 1 else "bpair"
-    if variant == "pair" and k <= LANE:
+    if variant in ("pair", "pairf") and k <= LANE:
         return "f32"  # no K halves to pack — single gather is already minimal
     return variant
 
@@ -248,6 +248,54 @@ def _even_row_weights(rows: int, n_out: int) -> jax.Array:
     r = jax.lax.broadcasted_iota(jnp.int32, (n_out, rows), 1)
     i = jax.lax.broadcasted_iota(jnp.int32, (n_out, rows), 0)
     return jnp.where(r % 2 == i, 1.0, 0.0).astype(jnp.bfloat16)
+
+
+def _pack_pair_rows(lo: jax.Array, hi: jax.Array, interpret: bool) -> jax.Array:
+    """(R, 128) bf16 × 2 → (R, 128) i32 words with ``lo`` in the low
+    half-word — the inverse of :func:`_bitcast_pair_rows`, used to pack the
+    pair table INSIDE the kernel."""
+    r = lo.shape[0]
+    inter = jnp.stack([lo, hi], axis=1).reshape(2 * r, LANE)  # rows 2r=lo
+    if not interpret:
+        return pltpu.bitcast(inter, jnp.int32)
+    lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint16).astype(jnp.uint32)
+    hi_u = jax.lax.bitcast_convert_type(hi, jnp.uint16).astype(jnp.uint32)
+    return (lo_u | (hi_u << 16)).astype(jnp.int32)
+
+
+def _gemv_kernel_pair_fused(
+    lut_ref,  # (g_pad, 2·LANE) f32 — UNPACKED per-token LUT
+    codes_ref, scales_ref, out_ref,
+    packed_scratch,  # (g_pad, LANE) i32 VMEM — pair words, packed at j==0
+    *, g, block_j, has_scales, interpret,
+):
+    """pair variant with the (k, k+128) word packing done IN-KERNEL: the
+    f32 LUT streams in once and the packed table lives only in VMEM scratch
+    — removes the XLA-side pack chain (~6 ops over 0.5 MB arrays) and the
+    packed table's HBM write+read from the B=1 critical path."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _pack():
+        lo = lut_ref[:, :LANE].astype(jnp.bfloat16)
+        hi = lut_ref[:, LANE : 2 * LANE].astype(jnp.bfloat16)
+        packed_scratch[...] = _pack_pair_rows(lo, hi, interpret)
+
+    w_even = _even_row_weights(2 * g, 1)
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
+        shamt = (idx >> 3) & 16
+        idx_g = (idx & (LANE - 1)) if interpret else idx
+        word = jnp.take_along_axis(packed_scratch[...], idx_g, axis=1)
+        sel = jax.lax.shift_right_logical(word, shamt)
+        pairs = _bitcast_pair_rows(sel, interpret)
+        psum = jax.lax.dot_general(
+            w_even, pairs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if has_scales:
+            psum = psum * scales_ref[:, t * LANE : (t + 1) * LANE]
+        out_ref[0, t * LANE : (t + 1) * LANE] = psum[0]
 
 
 def _gemv_kernel_pair(
@@ -539,6 +587,34 @@ def _lut_gemv_packed(
             _gemv_kernel_nibbles, batch=batch, g=g_pad, block_j=bj,
             has_scales=has_scales,
         )
+    elif variant == "pairf":
+        if batch != 1:
+            raise ValueError("pairf is the B=1 in-kernel-pack variant")
+        lut2 = lut3.reshape(g_pad, kp)  # unpacked f32; packed in-kernel
+        tab_w = kp
+        out = pl.pallas_call(
+            functools.partial(
+                _gemv_kernel_pair_fused, g=g_pad, block_j=bj,
+                has_scales=has_scales, interpret=interpret,
+            ),
+            grid=(d_out_pad // bj,),
+            in_specs=[
+                pl.BlockSpec(
+                    (g_pad, kp), lambda j: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (rows, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+                ),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, d_out_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((g_pad, LANE), jnp.int32)],
+            interpret=interpret,
+        )(lut2, packed.codes_t, scales)
+        return out[:, :valid]
     elif variant == "pair":
         lut2 = _pack_lut_pair_lohi(lut3)  # (B·g_pad, LANE) i32
         tab_w = LANE

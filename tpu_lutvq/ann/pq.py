@@ -168,6 +168,11 @@ def _scan_codes(
         lut = jnp.pad(lut, ((0, 0), (0, 0), (0, kp - cfg.n_cluster)))
     from tpu_lutvq.kernels.lut_gemv import _lut_gemv_packed
 
+    # queries batch 8 per launch with per-query VMEM tables — the TPU
+    # realization of multi-query LUT packing (pq4_pack_LUT_qbs base-16
+    # blocks, faiss-simd/pq4_fast_scan.h:133-171): one code stream serves
+    # the whole query group; lane interleaving is unnecessary because each
+    # query's table is a whole VMEM-resident plane, not a SIMD register.
     outs = []
     for q0 in range(0, lut.shape[0], 8):
         outs.append(

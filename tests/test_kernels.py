@@ -100,9 +100,18 @@ def test_lut_gemv_tmac_nibble_packed(rng):
     assert packed.codes_t.shape[0] * 2 >= unpacked.codes_t.shape[0]
     assert packed.codes_t.size < unpacked.codes_t.size  # traffic halved
     x = jax.random.normal(jax.random.PRNGKey(5), (3, cfg.d_in), dtype=jnp.float32)
-    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
     want = golden.lut_gemm(cfg, params, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    scale = float(jnp.abs(want).max())
+    # batch ≥ 2 → token-pair bf16 kernel (odd batch exercises the pad tail)
+    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=1e-2, atol=1e-2
+    )
+    # B=1 → the exact f32 nibble kernel
+    got1 = lut_gemv(cfg, packed, x[:1], block_j=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got1), np.asarray(want[:1]), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_nibble_pack_rejects_8bit(rng):
@@ -204,4 +213,8 @@ def test_auto_strategy_on_nibbles_stays_correct(rng):
     x = jax.random.normal(jax.random.PRNGKey(3), (16, 128))
     y = layer.apply(cfg, x, strategy="auto", interpret=True)
     ref = golden.lut_gemm(cfg, params, x)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    # batch nibbles now run the bf16 token-pair kernel (serving precision)
+    s = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(y) / s, np.asarray(ref) / s, rtol=1e-2, atol=1e-2
+    )

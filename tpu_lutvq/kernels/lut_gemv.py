@@ -196,7 +196,7 @@ def pack_params(
 def resolve_variant(variant: str, *, nibbles: bool, batch: int, k: int) -> str:
     """Resolve "auto" to a concrete lookup-kernel variant (idempotent)."""
     if nibbles:
-        return "nibbles"
+        return "nibbles" if batch == 1 else "nibbles_bpair"
     if variant == "auto":
         variant = ("pair" if k > LANE else "f32") if batch == 1 else "bpair"
     if variant in ("pair", "pairf") and k <= LANE:
@@ -531,6 +531,37 @@ def _gemv_kernel_nibbles(
             out_ref[b, t * LANE : (t + 1) * LANE] = psum[0]
 
 
+def _gemv_kernel_nibbles_bpair(
+    lut_ref, codes_ref, scales_ref, out_ref, *, pairs_n, g, block_j,
+    has_scales, interpret,
+):
+    """Nibble-packed T-MAC (K=16) × token-pair words: one gather serves TWO
+    tokens per group half — fixes round 1's '-35% with nibble packing'
+    (the f32 kernel paid 2 gathers per TOKEN; this pays 2 per PAIR)."""
+    gh = g // 2
+    w_sel = _even_row_weights(2 * gh, 2)
+    for t in range(block_j // LANE):
+        v = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (gh,128)
+        idx_e = v & 0xF
+        idx_o = v >> 4
+        for p in range(pairs_n):
+            te = lut_ref[p * g : p * g + gh, :LANE]
+            to = lut_ref[p * g + gh : (p + 1) * g, :LANE]
+            we = jnp.take_along_axis(te, idx_e, axis=1)
+            wo = jnp.take_along_axis(to, idx_o, axis=1)
+            pe = _bitcast_pair_rows(we, interpret)  # (2gh, 128) bf16
+            po = _bitcast_pair_rows(wo, interpret)
+            dot = lambda s_: jax.lax.dot_general(
+                w_sel, s_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            psum = dot(pe) + dot(po)  # (2, 128)
+            if has_scales:
+                psum = psum * scales_ref[:, t * LANE : (t + 1) * LANE]
+            out_ref[2 * p, t * LANE : (t + 1) * LANE] = psum[0]
+            out_ref[2 * p + 1, t * LANE : (t + 1) * LANE] = psum[1]
+
+
 def _lut_gemv_packed(
     cfg: VQConfig,
     packed: PackedVQ,
@@ -586,6 +617,18 @@ def _lut_gemv_packed(
         kern = functools.partial(
             _gemv_kernel_nibbles, batch=batch, g=g_pad, block_j=bj,
             has_scales=has_scales,
+        )
+    elif variant == "nibbles_bpair":
+        lut3 = jnp.concatenate([lut3[:, 0::2], lut3[:, 1::2]], axis=1)
+        if batch % 2:
+            lut3 = jnp.concatenate([lut3, jnp.zeros_like(lut3[:1])], axis=0)
+        pairs_n = lut3.shape[0] // 2
+        out_batch = 2 * pairs_n
+        lut2 = _pack_lut_pair_batch(lut3)  # (pairs·g_pad, Kp) i32 pair words
+        tab_w = kp
+        kern = functools.partial(
+            _gemv_kernel_nibbles_bpair, pairs_n=pairs_n, g=g_pad, block_j=bj,
+            has_scales=has_scales, interpret=interpret,
         )
     elif variant == "pairf":
         if batch != 1:

@@ -1,0 +1,107 @@
+"""Wait for the axon tunnel to recover, then run the queued measurements.
+
+One process, strictly sequential (never two TPU processes at once):
+1. pairf vs pair B=1 probe (in-kernel LUT pack)
+2. nibble bpair vs f32 nibble probe (batched T-MAC)
+3. paged vs slab batcher throughput (1B, 8 slots)
+4. bench.py sanity
+Results appended to artifacts/queued_results.txt.
+"""
+import subprocess
+import sys
+import time
+
+OUT = "artifacts/queued_results.txt"
+
+
+def log(msg):
+    print(msg, flush=True)
+    with open(OUT, "a") as f:
+        f.write(msg + "\n")
+
+
+def wait_for_tunnel(max_wait_s=14400):
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(float(jnp.ones((4,)).sum()))"],
+                capture_output=True, timeout=180, text=True,
+            )
+            if r.returncode == 0 and "4.0" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(60)
+    return False
+
+
+def main():
+    if not wait_for_tunnel():
+        log("tunnel never recovered within the wait budget")
+        return
+    log(f"tunnel recovered at {time.strftime('%H:%M:%S')}")
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_lutvq.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from tpu_lutvq.bench.harness import bench_time
+    from tpu_lutvq.core.config import aqlm_2x8, tmac
+    from tpu_lutvq.core.params import init_vq_params
+    from tpu_lutvq.kernels import lut_gemv, pack_params
+
+    # 1. pairf vs pair
+    cfg = aqlm_2x8(4096, group=8, shared_codebook=True)
+    params = init_vq_params(jax.random.PRNGKey(0), cfg, 4096,
+                            dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4096), jnp.float32)
+    for v in ("pair", "pairf"):
+        try:
+            t = bench_time(
+                lambda x, v=v: lut_gemv(cfg, packed, x, variant=v),
+                x, n=2048, repeats=3,
+            )
+            log(f"B=1 4096^2 {v}: {t*1e6:.2f}us")
+        except Exception as e:
+            log(f"{v} FAILED: {type(e).__name__}: {str(e)[:200]}")
+
+    # 2. nibble kernels at batch
+    tcfg = tmac(4096, bits=4, group=4)
+    tp = init_vq_params(jax.random.PRNGKey(2), tcfg, 4096, dtype=jnp.bfloat16)
+    pk = pack_params(tcfg, tp, nibble_pack=True)
+    xb = jax.random.normal(jax.random.PRNGKey(3), (8, 4096), jnp.float32)
+    for v in ("nibbles", "nibbles_bpair"):
+        try:
+            t = bench_time(
+                lambda x, v=v: lut_gemv(tcfg, pk, x, variant=v),
+                xb, n=512, repeats=3,
+            )
+            log(f"T-MAC nibble B=8 {v}: {t*1e6:.1f}us")
+        except Exception as e:
+            log(f"nibble {v} FAILED: {type(e).__name__}: {str(e)[:200]}")
+
+    # 3. paged vs slab batcher (1B)
+    from tpu_lutvq.bench import batcher as bb
+
+    for paged in (None, 40):
+        try:
+            rows = bb.run(model="1b", slots=8, n_requests=16, max_new=32,
+                          horizons=(8,), paged_blocks=paged)
+            for r in rows:
+                log(f"batcher 1B paged={bool(paged)} h8: {r['Tok_per_s']} tok/s")
+        except Exception as e:
+            log(f"batcher paged={paged} FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    # 4. bench.py
+    r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                       text=True, timeout=900)
+    log("bench.py: " + (r.stdout.strip().splitlines() or ["<no output>"])[-1])
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,29 @@ def test_llama_quantized_matches_dense_path(tiny_model):
     )
 
 
+def test_large_preset_geometries_trace():
+    """13B/70B presets shape-check end-to-end via eval_shape (no memory):
+    GQA head grouping (70B: 64 q / 8 kv heads), non-pow2 widths (13824,
+    28672) through block padding, RoPE dims — all without a real forward."""
+    from tpu_lutvq.models.llama import init_caches, llama_forward
+
+    for preset in (LlamaConfig.llama2_13b, LlamaConfig.llama2_70b):
+        cfg = preset(max_seq=32)
+        weights = jax.eval_shape(
+            lambda: init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        )
+        caches = jax.eval_shape(lambda: init_caches(cfg, 1))
+        tokens = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+        logits, _ = jax.eval_shape(
+            lambda w, t, c: llama_forward(
+                cfg, w, t, c, jnp.int32(0), strategy="lut_gemv",
+                interpret=True,
+            ),
+            weights, tokens, caches,
+        )
+        assert logits.shape == (1, 1, cfg.vocab_size), (preset, logits.shape)
+
+
 def test_llama_scan_matches_loop(tiny_model):
     """lax.scan over stacked layers == python loop over layers."""
     from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights

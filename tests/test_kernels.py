@@ -189,7 +189,7 @@ def test_pack_params_rejects_wide_codes(rng):
     """K > 256 would silently truncate in uint8 storage (regression)."""
     cfg = VQConfig(64, 8, 1, 512, shared_codebook=True)
     params = init_vq_params(rng, cfg, 128)
-    with pytest.raises(ValueError, match="two-level"):
+    with pytest.raises(ValueError, match="1x16 loader"):
         pack_params(cfg, params)
 
 

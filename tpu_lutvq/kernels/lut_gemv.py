@@ -139,7 +139,7 @@ def pack_params(
         # such schemes go through the two-level kernel's own packing instead.
         raise ValueError(
             f"pack_params stores uint8 codes; K={cfg.n_cluster} > 256 needs the "
-            "two-level 1x16 path (kernels.lut_gemv_2level) or load-time dequant"
+            "1x16 loader paths (runtime.checkpoint one_x16='refit'|'dequant')"
         )
     g_pad = _round_up(cfg.n_groups, 8)
     # (d_out, M, N) -> n-major (N, M, d_out) -> (G, d_out)

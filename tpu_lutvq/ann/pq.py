@@ -126,6 +126,13 @@ class ProductQuantizer:
         n = codes.shape[0]
         tables = self.l2_tables(queries) if metric == "l2" else self.ip_tables(queries)
         variant = "i8" if table_dtype == "int8" else "auto"
+        if refine_groups is not None and metric != "l2":
+            # IP partial sums are not monotone bounds (terms can be negative):
+            # a shortlist built on them can drop true top-k arbitrarily.  The
+            # lower-bound justification only holds for L2, so refuse rather
+            # than silently lose recall.
+            raise ValueError("refine_groups requires metric='l2' (IP partial "
+                             "sums are not monotone bounds)")
         if refine_groups is not None and refine_groups < self.m:
             return _search_refined(
                 self.cfg, tables, codes, topk, metric,

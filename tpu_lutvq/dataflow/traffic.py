@@ -276,11 +276,22 @@ def tune_tiling(
         for cand in (1024, 512, 256, 128):
             avail = budget - table1 - g_pad * cand
             bt = int(avail // (row + cand * 4)) if avail > 0 else 0
-            bt = max(8, min(batch, bt, 256))
+            if bt < 1:
+                continue  # tables alone blow the budget at this block width
+            bt = max(1, min(batch, bt, 256))
             launches = -(-batch // bt)
             key = (launches, -cand)
             if best is None or key < best[0]:
                 best = (key, cand, bt)
+        if best is None:
+            # even bj=128 with bt=1 exceeds scoped VMEM — a tiling lie here
+            # reproduces the exact compile error this function exists to
+            # prevent, so fail loudly with the sizes.
+            raise ValueError(
+                f"dequant_mm tables ({table1} B) + minimum tiles exceed the "
+                f"scoped-VMEM budget ({int(budget)} B); use lut_gemv for this "
+                "config or shrink the codebook"
+            )
         return Tiling(block_j=best[1], lut_batch=best[2])
     per_pair = g_pad * kp * 4  # packed i32 pair words per 2 tokens
     lut_batch = 2 * max(1, min(8, int(budget * 0.5 / max(per_pair, 1))))

@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -278,6 +279,20 @@ def flash_decode_attention(
     assert h == hkv * rep
     block_s = min(block_s, s_max)
     window = min(-(-window // block_s) * block_s, s_max)
+    # blocks past `window` are never streamed: a too-small window silently
+    # truncates attention.  pos is usually traced (nothing checkable), but
+    # callers passing a concrete pos (tests, eager decode) get the contract
+    # enforced.  np.asarray raises on tracers — that is the concreteness test.
+    if window < s_max:
+        try:
+            max_pos = int(np.max(np.asarray(pos)))
+        except Exception:
+            max_pos = None
+        if max_pos is not None and max_pos + 1 > window:
+            raise ValueError(
+                f"window={window} truncates attention: max(pos)+1={max_pos + 1}"
+                " rows would never be streamed (bucket the window up)"
+            )
     quantized = k_q.dtype == jnp.int8
     sm_scale = 1.0 / (dh ** 0.5)
 

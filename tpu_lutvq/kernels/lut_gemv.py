@@ -90,6 +90,12 @@ class PackedVQ:
     d_out: int
     shards: int = 1  # column-parallel TP shards this array was packed for
     nibbles: bool = False  # 4-bit codes packed two-groups-per-byte (T-MAC)
+    # AQLM out_group_size: each code selects an (out_group, d_subvec) BLOCK
+    # of the weight (ISTA-DASLab 2x8 releases ship out_group_size=8).  d_out
+    # stays the CODE-column count; the logical output dim is d_out·out_group
+    # (``full_d_out``).  codebook is stored (out_group, N, K, d_subvec) —
+    # slice r holds row r of every entry block.
+    out_group: int = 1
 
     @property
     def local_d_out(self) -> int:
@@ -98,17 +104,23 @@ class PackedVQ:
         inside shard_map, where each device sees exactly one chunk."""
         return self.d_out // self.shards
 
+    @property
+    def full_d_out(self) -> int:
+        """Logical output dim (code columns × out_group rows per code)."""
+        return self.d_out * self.out_group
+
     def tree_flatten(self):
         return (self.codes_t, self.codebook, self.scales), (
             self.d_out,
             self.shards,
             self.nibbles,
+            self.out_group,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         codes_t, codebook, scales = children
-        d_out, shards, nibbles = aux
+        d_out, shards, nibbles, out_group = aux
         return cls(
             codes_t=codes_t,
             codebook=codebook,
@@ -116,6 +128,7 @@ class PackedVQ:
             d_out=d_out,
             shards=shards,
             nibbles=nibbles,
+            out_group=out_group,
         )
 
 
@@ -125,6 +138,7 @@ def pack_params(
     block_j: int = DEFAULT_BLOCK_J,
     shards: int = 1,
     nibble_pack: bool = False,
+    out_group: int = 1,
 ) -> PackedVQ:
     """Transpose codes to ``(G, d_out)`` (n-major groups) and pad for the
     kernel.  With ``shards > 1`` (column-parallel TP), each shard's chunk is
@@ -152,13 +166,20 @@ def pack_params(
         scales = params.scales.astype(jnp.float32).reshape(1, d_out)
 
     local = d_out // shards
-    local_pad = _round_up(local, LANE)
-    # widths that are lane-aligned but share no large divisor with block_j
-    # force _resolve_block down to a small tile (11008 = 128·43 → bj=256,
-    # 43 grid steps of per-step overhead — measured 1.5× slower than bj=1024
-    # at 4096×11008).  Pad to a block_j multiple instead (+2.3% codes there).
-    if local_pad > block_j and local_pad % block_j:
-        local_pad = _round_up(local_pad, block_j)
+    if shards > 1:
+        # must match _valid_width/repack_column_parallel exactly, or the
+        # kernel rejects the pack at call time (wide shards pad to 512
+        # multiples to keep a large output tile, see dist/tp.py)
+        local_pad = _round_up(local, 512 if local > 512 else LANE)
+    else:
+        local_pad = _round_up(local, LANE)
+        # widths that are lane-aligned but share no large divisor with block_j
+        # force _resolve_block down to a small tile (11008 = 128·43 → bj=256,
+        # 43 grid steps of per-step overhead — measured 1.5× slower than
+        # bj=1024 at 4096×11008).  Pad to a block_j multiple instead (+2.3%
+        # pad codes there).
+        if local_pad > block_j and local_pad % block_j:
+            local_pad = _round_up(local_pad, block_j)
 
     def pad_chunks(arr, fill):
         chunks = [
@@ -183,6 +204,14 @@ def pack_params(
         if codes_t.shape[0] % 16:
             codes_t = jnp.pad(codes_t, ((0, 16 - codes_t.shape[0] % 16), (0, 0)))
         codes_t = codes_t[0::2] | (codes_t[1::2] << 4)
+    if out_group > 1:
+        if shards > 1 or nibble_pack:
+            raise ValueError("out_group > 1 does not compose with shards/nibbles yet")
+        if params.codebook.shape[0] != out_group:
+            raise ValueError(
+                f"out_group={out_group} needs codebook (out_group, N, K, d); "
+                f"got leading dim {params.codebook.shape[0]}"
+            )
     return PackedVQ(
         codes_t=codes_t,
         codebook=params.codebook,
@@ -190,6 +219,7 @@ def pack_params(
         d_out=d_out,
         shards=shards,
         nibbles=nibble_pack,
+        out_group=out_group,
     )
 
 
@@ -759,6 +789,36 @@ def lut_gemv(
         t = tune_tiling(cfg, packed.d_out, batch)
         block_j = block_j or t.block_j
         lut_batch = lut_batch or t.lut_batch
+    og = packed.out_group
+    if og > 1:
+        # AQLM out_group_size: one code byte selects an (og, d) weight BLOCK.
+        # TPU-native realization: the og block rows become a pseudo-BATCH of
+        # LUTs (row r's LUT built from codebook slice r) — the kernel streams
+        # the og×-smaller code array ONCE and produces all og output rows per
+        # code column; a transpose interleaves them back (reference analog:
+        # the AQLM package's generic _dequantize_weight over
+        # (N, K, out_g, in_g) codebooks, benchmark_rq_gemm_cpu.py:128-130).
+        tokens_per = max(1, lut_batch // og)
+        outs = []
+        for b0 in range(0, batch, tokens_per):
+            xb = x[b0 : b0 + tokens_per]
+            bc = xb.shape[0]
+            v = resolve_variant(
+                variant, nibbles=False, batch=bc * og, k=cfg.n_cluster
+            )
+            cdt = jnp.float32 if v == "f32" else jnp.bfloat16
+            luts = [
+                build_lut(cfg, packed.codebook[r : r + 1], xb, compute_dtype=cdt)
+                for r in range(og)
+            ]  # og × (bc, G, Kp)
+            lut = jnp.stack(luts, axis=1).reshape(bc * og, *luts[0].shape[1:])
+            out = _lut_gemv_packed(
+                cfg, packed, lut, block_j=block_j, interpret=interpret, variant=v
+            )  # (bc·og, code_cols); row b·og+r = block row r of token b
+            outs.append(
+                out.reshape(bc, og, -1).transpose(0, 2, 1).reshape(bc, -1)
+            )  # y[b, o·og + r]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     outs = []
     for b0 in range(0, batch, lut_batch):
         xb = x[b0 : b0 + lut_batch]

@@ -75,6 +75,15 @@ class QuantizedLinear(NamedTuple):
             if self.packed.nibbles:
                 # only the lookup kernel understands the nibble-packed layout
                 strategy = "lut_gemv"
+            if self.packed.out_group > 1:
+                # out_group blocks are served as a LUT pseudo-batch — only
+                # the lookup kernel implements that layout today
+                strategy = "lut_gemv"
+        elif strategy != "lut_gemv" and self.packed.out_group > 1:
+            raise ValueError(
+                f"strategy {strategy!r} does not support out_group > 1 packs; "
+                "use 'lut_gemv' (or 'auto')"
+            )
         if strategy == "lut_gemv":
             y = lut_gemv(cfg, self.packed, xb, interpret=interpret, variant=variant)
         elif strategy == "dequant_mm":

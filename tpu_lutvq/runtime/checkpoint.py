@@ -85,12 +85,16 @@ def _unsigned_codes(codes: np.ndarray) -> np.ndarray:
     raise ValueError(f"unexpected codes dtype {codes.dtype}")
 
 
-def aqlm_layer_config(codes: np.ndarray, codebooks: np.ndarray) -> tuple[VQConfig, int]:
-    """Infer ``(VQConfig, d_out)`` from AQLM tensor shapes."""
+def aqlm_layer_config(
+    codes: np.ndarray, codebooks: np.ndarray
+) -> tuple[VQConfig, int, int]:
+    """Infer ``(VQConfig, logical d_out, out_group_size)`` from AQLM tensor
+    shapes.  out_group_size > 1 (several ISTA-DASLab 2x8 releases ship 8)
+    means each code selects an ``(out_g, in_g)`` weight block; the kernel
+    serves it as a pseudo-batch of out_g LUTs over the out_g×-smaller code
+    array (see ``lut_gemv``'s out_group path)."""
     n_cb, k, out_g, in_g = codebooks.shape
-    if out_g != 1:
-        raise NotImplementedError(f"out_group_size={out_g} != 1 not supported yet")
-    d_out, n_in_groups, n_cb2 = codes.shape
+    code_rows, n_in_groups, n_cb2 = codes.shape
     assert n_cb2 == n_cb, (n_cb2, n_cb)
     d_in = n_in_groups * in_g
     cfg = VQConfig(
@@ -100,7 +104,7 @@ def aqlm_layer_config(codes: np.ndarray, codebooks: np.ndarray) -> tuple[VQConfi
         n_cluster=k,
         shared_codebook=True,
     )
-    return cfg, d_out
+    return cfg, code_rows * out_g, out_g
 
 
 def load_aqlm_linear(
@@ -121,10 +125,13 @@ def load_aqlm_linear(
     codes = _unsigned_codes(tensors[f"{prefix}.codes"])
     codebooks = tensors[f"{prefix}.codebooks"]
     scales = tensors.get(f"{prefix}.scales")
-    cfg, d_out = aqlm_layer_config(tensors[f"{prefix}.codes"], codebooks)
-    # (N, K, 1, g) → (1, N, K, g) shared codebook
-    cb = np.ascontiguousarray(codebooks[:, :, 0, :])[None]
-    sc = None if scales is None else scales.reshape(d_out).astype(np.float32)
+    cfg, d_out, out_g = aqlm_layer_config(tensors[f"{prefix}.codes"], codebooks)
+    code_rows = d_out // out_g
+    # (N, K, out_g, g) → (out_g, N, K, g): slice r = row r of each entry block
+    # (out_g == 1 reproduces the old (1, N, K, g) shared-codebook layout)
+    cb = np.ascontiguousarray(np.transpose(codebooks, (2, 0, 1, 3)))
+    # AQLM scales are per OUT-GROUP: (code_rows, 1, 1, 1) → one per code column
+    sc = None if scales is None else scales.reshape(code_rows).astype(np.float32)
 
     if cfg.n_cluster <= dequant_threshold_k:
         params = VQParams(
@@ -136,21 +143,33 @@ def load_aqlm_linear(
             ),
             scales=None if sc is None else jnp.asarray(sc),
         )
-        return QuantizedLinear(packed=pack_params(cfg, params)), cfg
+        return (
+            QuantizedLinear(packed=pack_params(cfg, params, out_group=out_g)),
+            cfg,
+        )
 
     # 1x16 path: exact dequant first (gather + additive sum, scales after —
-    # identical to AQLM's _dequantize_weight).  Runs through the native host
-    # library when built (csrc/lutvq_pack.cpp), NumPy otherwise.
+    # identical to AQLM's _dequantize_weight, incl. out_group blocks).  Runs
+    # through the native host library when built (csrc/lutvq_pack.cpp),
+    # NumPy otherwise.
     from tpu_lutvq.utils.native import dequant_additive
 
-    w = dequant_additive(codes.astype(np.int64), cb[0].astype(np.float32), sc)
+    if out_g == 1:
+        w = dequant_additive(codes.astype(np.int64), cb[0].astype(np.float32), sc)
+    else:
+        # per block row r: (code_rows, d_in), then interleave w[o·og+r] = w_r[o]
+        w_rows = [
+            dequant_additive(codes.astype(np.int64), cb[r].astype(np.float32), sc)
+            for r in range(out_g)
+        ]
+        w = np.stack(w_rows, axis=1).reshape(d_out, cfg.d_in)
 
     if one_x16 == "refit":
         import logging
 
         from tpu_lutvq.core.quantize import refit_to_2x8
 
-        codes16 = codes[..., 0] if cfg.n_codebook == 1 else None
+        codes16 = codes[..., 0] if (cfg.n_codebook == 1 and out_g == 1) else None
         cfg2, params2, err = refit_to_2x8(
             jax.random.PRNGKey(abs(hash(prefix)) % (2**31)),
             jnp.asarray(w, jnp.float32),
@@ -260,6 +279,7 @@ def save_lutvq(path: str, cfg: LlamaConfig, weights: LlamaWeights) -> None:
                     "d_out": p.d_out,
                     "shards": p.shards,
                     "nibbles": p.nibbles,
+                    "out_group": p.out_group,
                     "has_scales": p.scales is not None,
                 }
                 put(f"{base}.codes_t", p.codes_t)
@@ -298,6 +318,7 @@ def load_lutvq(path: str) -> tuple[LlamaConfig, LlamaWeights]:
                             d_out=fm["d_out"],
                             shards=fm["shards"],
                             nibbles=fm["nibbles"],
+                            out_group=fm.get("out_group", 1),
                         )
                     )
             layers.append(

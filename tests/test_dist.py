@@ -112,6 +112,117 @@ def test_make_mesh_2d():
         make_mesh(4, 4)
 
 
+def test_tp_decode_exact_tier(model):
+    """Near-bit-exact TP agreement: f32 lookup variant + bf16 KV removes the
+    quantizer boundaries the serving tolerances absorb, so a real TP bug
+    (wrong shard, missing psum, misaligned repack) cannot hide inside
+    2e-2/5e-2 (VERDICT r2 item 5)."""
+    import dataclasses
+
+    cfg, weights = model
+    cfg_bf = dataclasses.replace(cfg, kv_dtype="bf16")
+    tp = 4
+    mesh = make_tp_mesh(tp)
+    sharded = shard_llama_tp(cfg_bf, weights, mesh)
+    step = make_tp_decode_step(
+        cfg_bf, mesh, strategy="lut_gemv", interpret=True, variant="f32"
+    )
+    batch = 2
+    tokens = jnp.asarray([5, 9], jnp.int32)
+    pos = jnp.zeros((batch,), jnp.int32)
+    caches_tp = init_tp_caches(cfg_bf, batch, mesh)
+    logits_tp, _ = step(sharded, tokens, caches_tp, pos)
+
+    logits_1, _ = llama_decode_step(
+        cfg_bf, weights, tokens, init_caches(cfg_bf, batch), pos,
+        strategy="lut_gemv", interpret=True, variant="f32",
+    )
+    # remaining delta: psum reduction order (f32 is non-associative) and the
+    # bf16 lm_head rounding a ~1e-6 activation difference can flip by one
+    # ulp — measured 4.9e-4 max abs.  2e-3 is 100× tighter than the serving
+    # tolerance; a real TP bug (wrong shard / missing psum) shows as O(0.1+).
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_1), rtol=0, atol=2e-3
+    )
+
+
+def test_tp_paged_decode_matches_slab(model):
+    """Paged pools sharded on the head axis under TP must match the TP slab
+    path (same tokens, same positions) — BASELINE config 4's missing leg
+    (VERDICT r2 item 4)."""
+    from tpu_lutvq.dist.tp import init_tp_paged_caches
+    from tpu_lutvq.models.paged_cache import BlockAllocator
+
+    cfg, weights = model
+    tp = 4
+    mesh = make_tp_mesh(tp)
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    step = make_tp_decode_step(cfg, mesh, strategy="lut_gemv", interpret=True)
+
+    batch = 2
+    bs = 16  # block_size < max_seq so the table actually routes
+    paged = init_tp_paged_caches(cfg, 8, batch, mesh, block_size=bs)
+    alloc = BlockAllocator(8)
+    tables = [alloc.alloc(2), alloc.alloc(2)]
+    paged = tuple(
+        pc._replace(
+            block_tables=pc.block_tables.at[0, :2].set(jnp.asarray(tables[0]))
+            .at[1, :2].set(jnp.asarray(tables[1]))
+        )
+        for pc in paged
+    )
+    slab = init_tp_caches(cfg, batch, mesh)
+
+    tokens = jnp.asarray([5, 9], jnp.int32)
+    logits_p = logits_s = None
+    for t in range(3):  # a few steps so later tokens attend to paged history
+        pos = jnp.full((batch,), t, jnp.int32)
+        logits_p, paged = step(sharded, tokens, paged, pos)
+        logits_s, slab = step(sharded, tokens, slab, pos)
+        tokens = jnp.argmax(logits_s, axis=-1).astype(jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_s), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_tp_paged_continuous_batching(model):
+    """Continuous batching over TP-sharded weights WITH the paged KV pool —
+    greedy outputs must match the single-device paged batcher."""
+    import functools
+
+    from tpu_lutvq.dist.tp import init_tp_caches, init_tp_paged_caches
+    from tpu_lutvq.runtime import ContinuousBatcher, Request
+
+    cfg, weights = model
+    tp = 2
+    mesh = make_tp_mesh(tp)
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    b_tp = ContinuousBatcher(
+        cfg,
+        sharded,
+        n_slots=2,
+        prefill_fn=make_tp_prefill(cfg, mesh, strategy="dequant_mm", interpret=True),
+        step_fn=make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True),
+        cache_factory=lambda c, n: init_tp_caches(c, n, mesh),
+        paged_blocks=8,
+        paged_block_size=16,
+        paged_cache_factory=lambda c, nb, ns: init_tp_paged_caches(
+            c, nb, ns, mesh, block_size=16
+        ),
+    )
+    b_1 = ContinuousBatcher(
+        cfg, weights, n_slots=2, strategy="dequant_mm", interpret=True,
+        paged_blocks=8, paged_block_size=16,
+    )
+    prompts = [[1, 2, 3], [4, 5]]
+    for i, p in enumerate(prompts):
+        b_tp.submit(Request(i, list(p), 3))
+        b_1.submit(Request(i, list(p), 3))
+    out_tp = {r.req_id: r.output for r in b_tp.run(max_steps=20)}
+    out_1 = {r.req_id: r.output for r in b_1.run(max_steps=20)}
+    assert out_tp == out_1, (out_tp, out_1)
+
+
 def test_tp_continuous_batching(model):
     """Config-4 of the north star: continuous batching over TP-sharded
     weights — must match the single-device batcher's greedy outputs."""

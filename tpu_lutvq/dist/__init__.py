@@ -1,5 +1,7 @@
 from tpu_lutvq.dist.mesh import make_mesh, make_tp_mesh  # noqa: F401
 from tpu_lutvq.dist.tp import (  # noqa: F401
+    init_tp_caches,
+    init_tp_paged_caches,
     local_tp_config,
     make_tp_decode_step,
     make_tp_prefill,

@@ -61,6 +61,7 @@ class ContinuousBatcher:
         cache_factory=None,
         paged_blocks: Optional[int] = None,
         paged_block_size: int = 128,
+        paged_cache_factory=None,
         attn: str = "xla",
     ):
         """prefill_fn/step_fn/cache_factory override the device programs —
@@ -85,8 +86,13 @@ class ContinuousBatcher:
         self.slot_pos = np.zeros(n_slots, np.int32)  # next write position
         self.paged = paged_blocks is not None
         if self.paged:
-            if prefill_fn is not None or step_fn is not None:
-                raise ValueError("paged mode uses the default device programs")
+            if (prefill_fn is not None or step_fn is not None) and (
+                paged_cache_factory is None
+            ):
+                raise ValueError(
+                    "paged mode with injected device programs (TP) needs a "
+                    "paged_cache_factory (e.g. an init_tp_paged_caches partial)"
+                )
             from tpu_lutvq.models.paged_cache import (
                 BlockAllocator,
                 PagedKVCache,
@@ -95,19 +101,24 @@ class ContinuousBatcher:
             bs = paged_block_size
             self._bs = bs
             self._max_blocks = -(-cfg.max_seq // bs)
-            self.caches = tuple(
-                PagedKVCache.init(
-                    paged_blocks, n_slots, self._max_blocks,
-                    cfg.n_kv_heads, cfg.head_dim, bs,
-                    dtype=jnp.int8 if cfg.kv_dtype == "int8" else jnp.bfloat16,
+            if paged_cache_factory is not None:
+                self.caches = paged_cache_factory(cfg, paged_blocks, n_slots)
+            else:
+                self.caches = tuple(
+                    PagedKVCache.init(
+                        paged_blocks, n_slots, self._max_blocks,
+                        cfg.n_kv_heads, cfg.head_dim, bs,
+                        dtype=jnp.int8 if cfg.kv_dtype == "int8" else jnp.bfloat16,
+                    )
+                    for _ in range(cfg.n_layers)
                 )
-                for _ in range(cfg.n_layers)
-            )
             self._alloc = BlockAllocator(paged_blocks)
             self._alloc_capacity = len(self._alloc.free)
             self._slot_blocks: list[Optional[list]] = [None] * n_slots
             self._slot_capacity = np.zeros(n_slots, np.int64)
-            self._cache_factory = init_caches  # B=1 slab for admission prefill
+            # B=1 slab for admission prefill (TP passes an init_tp_caches
+            # partial so the small cache is head-sharded like the pools)
+            self._cache_factory = cache_factory or init_caches
         else:
             cache_factory = cache_factory or init_caches
             self._cache_factory = cache_factory
@@ -128,7 +139,8 @@ class ContinuousBatcher:
         # unfused route paid one dispatch per layer for the cache scatter —
         # ~n_layers x 35 ms of tunnel RTT per admission.
         self._admit_fused = None
-        if self.paged:
+        self._admit_paged = None
+        if self.paged and prefill_fn is None:
             raw_prefill = functools.partial(
                 llama_forward, cfg, strategy=strategy, interpret=interpret
             )
@@ -148,6 +160,23 @@ class ContinuousBatcher:
 
             self._admit_paged = jax.jit(
                 admit_paged, donate_argnums=(2,), static_argnames=("t0",)
+            )
+        elif self.paged:
+            # injected (TP) programs: prefill runs separately; this writes the
+            # admitted slot's table + cache rows in one dispatch.  Pure jnp
+            # scatters on head-sharded pools with replicated indices — GSPMD
+            # partitions them without a shard_map.
+            def write_paged(caches, small, slot, table_row, t0):
+                new = []
+                for pc, sc in zip(caches, small):
+                    pc = pc._replace(
+                        block_tables=pc.block_tables.at[slot].set(table_row)
+                    )
+                    new.append(pc.write_slot(sc, slot, t0))
+                return tuple(new)
+
+            self._write_paged = jax.jit(
+                write_paged, donate_argnums=(0,), static_argnames=("t0",)
             )
         elif prefill_fn is None and cache_factory is init_caches:
             raw_prefill = functools.partial(
@@ -269,12 +298,23 @@ class ContinuousBatcher:
                 self._slot_capacity[slot] = len(blocks) * self._bs
                 table_row = np.zeros(self._max_blocks, np.int32)
                 table_row[: len(blocks)] = blocks
-                tok_dev, self.caches = self._admit_paged(
-                    self.weights, prompt, self.caches, jnp.int32(slot),
-                    jnp.asarray(table_row), jnp.float32(req.temperature),
-                    sub, t0=t0,
-                )
-                tok = int(tok_dev)
+                if self._admit_paged is not None:
+                    tok_dev, self.caches = self._admit_paged(
+                        self.weights, prompt, self.caches, jnp.int32(slot),
+                        jnp.asarray(table_row), jnp.float32(req.temperature),
+                        sub, t0=t0,
+                    )
+                    tok = int(tok_dev)
+                else:  # injected (TP) programs: prefill small slab, then copy
+                    small = self._cache_factory(self.cfg, 1)
+                    logits, small = self._prefill(
+                        self.weights, prompt, small, jnp.zeros((1,), jnp.int32)
+                    )
+                    self.caches = self._write_paged(
+                        self.caches, small, jnp.int32(slot),
+                        jnp.asarray(table_row), t0=t0,
+                    )
+                    tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
             elif self._admit_fused is not None:
                 tok_dev, self.caches = self._admit_fused(
                     self.weights, prompt, self.caches, jnp.int32(slot),

@@ -116,6 +116,55 @@ def test_pq_search_refined_matches_full(pq_setup):
                 np.testing.assert_allclose(v, full[int(i)], rtol=5e-3, atol=5e-3)
 
 
+def test_pq_search_refined_exact_on_adversarial_data(pq_setup):
+    """The bound-driven refine is EXACT, not best-effort: on uniform data
+    (worst case — partial bounds are uninformative and the round-2 fixed
+    shortlist silently lost recall here) the refined top-k index set must
+    equal the f32 full scan's, per query, with a measured scored_frac
+    reported (VERDICT r2 item 6; ref invariant:
+    VecProductQuantizer.h:1150-1152,1243-1252)."""
+    import numpy as np
+
+    pq, _ = pq_setup
+    rng = np.random.RandomState(11)
+    db = rng.randn(512, pq.d).astype(np.float32)  # uniform: no cluster structure
+    queries = rng.randn(5, pq.d).astype(np.float32)
+    codes = pq.encode(jnp.asarray(db))
+    vf, idf = pq.search(jnp.asarray(queries), codes, topk=5, interpret=True,
+                        table_dtype="f32")
+    stats = {}
+    vr, idr = pq.search(
+        jnp.asarray(queries), codes, topk=5, interpret=True,
+        refine_groups=pq.m // 2, shortlist=32, stats=stats,
+    )
+    for q in range(len(queries)):
+        assert set(np.asarray(idf[q]).tolist()) == set(np.asarray(idr[q]).tolist()), q
+    # full scan runs the bf16 bpair kernel; the refine rescores in f32, so
+    # values agree only to bf16 table resolution (refine is the MORE exact)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vf), rtol=5e-3, atol=5e-3)
+    assert 0 < stats["scored_frac"] <= 1.0
+
+
+def test_pq_search_refined_skips_on_clustered_data(pq_setup):
+    """On clustered data the bounds bite: most of the database is never
+    exactly scored (the measured skip ratio the reference's prune delivers),
+    while results still match the full scan."""
+    import numpy as np
+
+    pq, x = pq_setup
+    db, queries = x[:512], x[:6]
+    codes = pq.encode(db)
+    _, idf = pq.search(queries, codes, topk=5, interpret=True, table_dtype="f32")
+    stats = {}
+    _, idr = pq.search(
+        queries, codes, topk=5, interpret=True, refine_groups=pq.m // 2,
+        shortlist=64, stats=stats,
+    )
+    for q in range(len(queries)):
+        assert set(np.asarray(idf[q]).tolist()) == set(np.asarray(idr[q]).tolist()), q
+    assert stats["scored_frac"] < 0.7, stats  # most exact scoring skipped
+
+
 def test_pq_search_refined_int8(pq_setup):
     """Refine composes with the int8 device scan (approximate phase int8,
     exact phase f32 rescoring)."""

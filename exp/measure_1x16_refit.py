@@ -1,0 +1,159 @@
+"""The honest 1x16 quality table (VERDICT r2 item 3).
+
+Round 2's only refit-quality evidence was the favorable case: additively
+DECOMPOSABLE synthetic codebooks, which the hi/lo-byte split-init recovers to
+<1e-4.  Real AQLM 1x16 codebooks are trained jointly and are NOT decomposable.
+This script builds such a codebook the way AQLM does — k-means on the weight's
+own subvectors, entries a joint function of all 16 bits — then measures what
+every serving mode costs in quality:
+
+    {dequant (exact), refit (lossy 2x8)} x {bytes/weight, rel-err, ppl}
+
+Run on CPU (`env -u PYTHONPATH JAX_PLATFORMS=cpu PYTHONPATH=/root/repo
+python exp/measure_1x16_refit.py`); results go to artifacts/ONE_X16.md by
+hand (and the bound is pinned in tests/test_quantize.py).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lutvq.ann.kmeans import kmeans
+from tpu_lutvq.core.config import VQConfig
+from tpu_lutvq.core.golden import dequantize
+from tpu_lutvq.core.params import VQParams
+from tpu_lutvq.core.quantize import refit_to_2x8
+
+
+def make_joint_1x16_layer(key, d_out, d_in, k, group=8, heavy_tail=True):
+    """A jointly-trained wide-codebook quantized layer (the realistic case).
+
+    Weight statistics mimic trained transformers: gaussian with per-row
+    scale spread and a heavy tail (outlier weights are exactly what makes
+    additive decomposition fail)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = jax.random.normal(k1, (d_out, d_in), jnp.float32)
+    if heavy_tail:
+        # student-t-ish: scale a few % of entries up 3-8x
+        mask = jax.random.uniform(k2, w.shape) < 0.03
+        w = jnp.where(mask, w * (3 + 5 * jax.random.uniform(k3, w.shape)), w)
+    row_scale = jnp.exp(0.3 * jax.random.normal(k2, (d_out, 1)))
+    w = w * row_scale
+
+    m = d_in // group
+    sub = w.reshape(d_out, m, group).reshape(-1, group)  # joint sample pool
+    cb, assign = kmeans(jax.random.PRNGKey(7), sub, k, iters=12)
+    codes = assign.reshape(d_out, m, 1).astype(jnp.int32)
+    cfg = VQConfig(d_in, m, 1, k, shared_codebook=True)
+    params = VQParams(codebook=cb[None, None], codes=codes, scales=None)
+    w_q = dequantize(cfg, params)  # the exact (dequant-served) weight
+    return cfg, params, w, w_q
+
+
+def main():
+    d_out, d_in, k = 512, 512, 4096  # wide joint codebook (CPU-trainable)
+    t0 = time.time()
+    cfg, params, w, w_q = make_joint_1x16_layer(
+        jax.random.PRNGKey(0), d_out, d_in, k
+    )
+    q_err = float(jnp.linalg.norm(w_q - w) / jnp.linalg.norm(w))
+    print(f"joint K={k} quantization err vs raw: {q_err:.4f} "
+          f"({time.time()-t0:.0f}s)")
+
+    # decomposability check: best additive hi/lo approximation of the
+    # codebook itself (alternating least squares on the (hi, lo) grid)
+    cb = params.codebook[0, 0]  # (K, g)
+    hi_bits = int(np.ceil(np.log2(k))) - 8 if k > 256 else 0
+    # refit the layer (the serving path)
+    t0 = time.time()
+    codes16 = params.codes[..., 0]
+    cfg2, params2, err_refit = refit_to_2x8(
+        jax.random.PRNGKey(1), w_q, codes_1x16=codes16, group=8
+    )
+    print(f"refit rel err (vs exact dequant): {err_refit:.4f} "
+          f"({time.time()-t0:.0f}s)")
+    # and refit WITHOUT the (invalid-for-joint) byte-split hint
+    _, _, err_refit_nohint = refit_to_2x8(jax.random.PRNGKey(1), w_q, group=8)
+    print(f"refit rel err, no byte-split hint: {err_refit_nohint:.4f}")
+
+    # end-to-end quality: tiny model, every projection jointly 1x16-quantized,
+    # served (a) exact dequant (b) refit -> perplexity on held-out tokens
+    from tpu_lutvq.models import LlamaConfig, init_llama
+    from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear
+    from tpu_lutvq.kernels import pack_params
+    from tpu_lutvq.runtime.eval import perplexity
+
+    mcfg = LlamaConfig.tiny(
+        n_layers=2, hidden=128, ffn=256, n_heads=4, n_kv_heads=4,
+        vocab_size=256, max_seq=64,
+    )
+    weights = init_llama(jax.random.PRNGKey(2), mcfg, dtype=jnp.float32)
+    kq = 1024  # wide joint codebook at tiny-model sample counts
+
+    def requant_layer(lw, key):
+        """Per projection: reconstruct the dense weight from the synthetic
+        init, joint-quantize it to the wide codebook (the '1x16 checkpoint'
+        analog), and build both serving forms."""
+        fields = {}
+        for i, name in enumerate(
+            ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+        ):
+            pk = getattr(lw, name).packed
+            d_outp = pk.d_out
+            codes = jnp.transpose(pk.codes_t[:, :d_outp])  # (d_out, G) n-major
+            n_cb = pk.codebook.shape[1]
+            m = codes.shape[1] // n_cb
+            d_inp = m * pk.codebook.shape[-1]
+            vcfg = VQConfig(d_inp, m, n_cb, pk.codebook.shape[2],
+                            shared_codebook=pk.codebook.shape[0] == 1)
+            codes3 = codes.reshape(d_outp, n_cb, m).transpose(0, 2, 1)
+            scales = None if pk.scales is None else pk.scales[0, :d_outp]
+            w_dense = dequantize(vcfg, VQParams(pk.codebook, codes3, scales))
+
+            kk = jax.random.fold_in(key, i)
+            group = 8
+            mm = d_inp // group
+            sub = w_dense.reshape(d_outp * mm, group)
+            cb, assign = kmeans(kk, sub, kq, iters=10)
+            jcfg = VQConfig(d_inp, mm, 1, kq, shared_codebook=True)
+            jparams = VQParams(cb[None, None], assign.reshape(d_outp, mm, 1), None)
+            w_exact = dequantize(jcfg, jparams)
+
+            cfg2, p2, err = refit_to_2x8(kk, w_exact,
+                                         codes_1x16=jparams.codes[..., 0])
+            fields[name] = {
+                "dequant": DenseLinear(w=w_exact.astype(jnp.bfloat16)),
+                "refit": QuantizedLinear(packed=pack_params(cfg2, p2)),
+                "err": err,
+            }
+        return fields
+
+    errs = []
+    variants = {"dequant": [], "refit": []}
+    for li, lw in enumerate(weights.layers):
+        f = requant_layer(lw, jax.random.fold_in(jax.random.PRNGKey(3), li))
+        for mode in ("dequant", "refit"):
+            variants[mode].append(
+                lw._replace(**{n: f[n][mode] for n in f})
+            )
+        errs.extend(f[n]["err"] for n in f)
+    print(f"per-layer refit errs: min {min(errs):.4f} max {max(errs):.4f}")
+
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (4, 48), 0, 256)
+    ppl = {}
+    for mode in ("dequant", "refit"):
+        wts = weights._replace(layers=tuple(variants[mode]))
+        strat = "dense_bf16" if mode == "dequant" else "lut_gemv"
+        ppl[mode] = float(
+            perplexity(mcfg, wts, tokens, strategy=strat, interpret=True)
+        )
+        print(f"ppl[{mode}] = {ppl[mode]:.4f}")
+    delta = (ppl["refit"] - ppl["dequant"]) / ppl["dequant"]
+    print(f"ppl delta refit vs exact dequant: {delta*100:+.2f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,33 @@ MODELS = {
 }
 
 
+def auto_choices(cfg: LlamaConfig, batch: int) -> dict:
+    """What strategy='auto' resolves to per projection family at this batch
+    (recorded into the CSV so the sweep shows chosen-vs-best per layer —
+    VERDICT r2 item 7; the analog of the reference's dataflow sweep
+    recording the winning loop order per workload, dataflow_sim.csv)."""
+    from tpu_lutvq.dataflow.traffic import pick_strategy, tune_tiling
+    from tpu_lutvq.kernels.lut_gemv import resolve_variant
+
+    out = {}
+    shapes = {
+        "attn_qkv": (cfg.hidden, cfg.hidden),
+        "mlp_in": (cfg.hidden, cfg.ffn),
+        "mlp_down": (cfg.ffn, cfg.hidden),
+    }
+    for name, (d_in, d_out) in shapes.items():
+        vq = cfg.vq_cfg(d_in)
+        s = pick_strategy(vq, d_out, batch)
+        t = tune_tiling(vq, d_out, batch, strategy=s)
+        v = (
+            resolve_variant("auto", nibbles=False, batch=batch, k=vq.n_cluster)
+            if s == "lut_gemv"
+            else "-"
+        )
+        out[f"auto_{name}"] = f"{s}/{v}/bj{t.block_j}"
+    return out
+
+
 def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
                 strategy: str = "auto", interpret: bool | None = None) -> list[dict]:
     """Prefill tier: tokens/s processing a (batch, seq) prompt."""
@@ -125,7 +152,7 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
             tokens, caches = carry
             logits, caches = llama_decode_step(
                 cfg, weights, tokens, caches, pos0 + i, strategy=strategy,
-                interpret=interpret, window=window,
+                interpret=interpret, window=window, variant=variant,
             )
             return (jnp.argmax(logits, axis=-1).astype(jnp.int32), caches), None
 
@@ -162,6 +189,7 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         "ms_per_step": round(dt * 1e3, 2),
         "tokens_per_s": round(toks_per_s, 1),
         "approx_param_elems": n_params,
+        **auto_choices(cfg, batch),
     }
     print(
         f"{model} B={batch} [{strategy}/{variant}]: {row['ms_per_step']} ms/step, "

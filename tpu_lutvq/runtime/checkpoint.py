@@ -176,9 +176,18 @@ def load_aqlm_linear(
             codes_1x16=None if codes16 is None else jnp.asarray(codes16),
             group=cfg.d_subvec,
         )
-        logging.getLogger(__name__).info(
-            "refit %s: K=%d -> 2x8, rel err %.4f", prefix, cfg.n_cluster, err
-        )
+        log = logging.getLogger(__name__)
+        log.info("refit %s: K=%d -> 2x8, rel err %.4f", prefix, cfg.n_cluster, err)
+        if err > 0.05:
+            # measured on jointly-trained (non-decomposable) codebooks:
+            # rel err ~0.25, tiny-model ppl +12.7% (artifacts/ONE_X16.md) —
+            # refit is a speed-over-fidelity mode, not the checkpoint's quality
+            log.warning(
+                "refit %s rel err %.3f > 5%%: this codebook is not additively "
+                "decomposable; fused serving will NOT match the 1x16 "
+                "checkpoint's quality (use one_x16='dequant' for exactness — "
+                "see artifacts/ONE_X16.md)", prefix, err,
+            )
         return QuantizedLinear(packed=pack_params(cfg2, params2)), cfg2
     if one_x16 != "dequant":
         raise ValueError(f"unknown one_x16 mode {one_x16!r}")

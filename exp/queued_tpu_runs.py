@@ -85,6 +85,25 @@ def main():
         except Exception as e:
             log(f"nibble {v} FAILED: {type(e).__name__}: {str(e)[:200]}")
 
+    # 2b. dequant_mm i8 quad tables vs bf16x2 (VERDICT r2 item 8: the
+    # 412 -> 250 us question at the 7B gate B=128 shape)
+    from tpu_lutvq.kernels import dequant_matmul
+
+    dcfg = aqlm_2x8(4096, group=8)
+    dparams = init_vq_params(jax.random.PRNGKey(4), dcfg, 11264,
+                             dtype=jnp.float32, with_scales=True)
+    dpacked = pack_params(dcfg, dparams)
+    xd = jax.random.normal(jax.random.PRNGKey(5), (128, 4096), jnp.float32)
+    for tb in ("bf16x2", "i8"):
+        try:
+            t = bench_time(
+                lambda x, tb=tb: dequant_matmul(dcfg, dpacked, x, tables=tb),
+                xd, n=64, repeats=3,
+            )
+            log(f"dequant_mm 7B-gate B=128 tables={tb}: {t*1e6:.1f}us")
+        except Exception as e:
+            log(f"dequant {tb} FAILED: {type(e).__name__}: {str(e)[:200]}")
+
     # 3. paged vs slab batcher (1B)
     from tpu_lutvq.bench import batcher as bb
 

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Wait for the axon tunnel, then: bench.py first (gating), queued runs second.
+cd /root/repo
+for i in $(seq 1 240); do
+  if timeout 150 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((4,)).sum()))" 2>/dev/null | grep -q "4.0"; then
+    echo "tunnel up at $(date +%H:%M:%S) after $i probes"
+    break
+  fi
+  sleep 45
+done
+echo "=== bench.py attempt $(date +%H:%M:%S) ==="
+timeout 900 python bench.py 2>&1 | tail -20
+echo "=== queued runs $(date +%H:%M:%S) ==="
+timeout 7200 python exp/queued_tpu_runs.py 2>&1 | tail -40
+echo "=== done $(date +%H:%M:%S) ==="

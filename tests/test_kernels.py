@@ -56,7 +56,9 @@ def test_lut_gemv_matches_golden(rng, cfg, d_out, batch, with_scales, variant, t
     )
 
 
-@pytest.mark.parametrize("tables,tol", [("f32", 1e-4), ("bf16x2", 3e-2)])
+@pytest.mark.parametrize(
+    "tables,tol", [("f32", 1e-4), ("bf16x2", 3e-2), ("i8", 5e-2)]
+)
 @pytest.mark.parametrize("cfg,d_out,batch", KERNEL_CFGS)
 def test_dequant_matmul_matches_golden(rng, cfg, d_out, batch, tables, tol):
     params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=True)
@@ -69,6 +71,68 @@ def test_dequant_matmul_matches_golden(rng, cfg, d_out, batch, tables, tol):
     scale = float(jnp.abs(want).max())
     np.testing.assert_allclose(
         np.asarray(got) / scale, np.asarray(want) / scale, rtol=tol, atol=tol
+    )
+
+
+def test_dequant_matmul_i8_integer_exactness(rng):
+    """The W8A8 path's integer arithmetic is EXACT: the kernel must equal a
+    NumPy int32 oracle that applies the identical quantization (per-row table
+    scales folded into x, per-token dynamic int8) — any gather/bitcast/packing
+    bug shows as a large integer mismatch, not a tolerance blur."""
+    from tpu_lutvq.core.params import broadcast_codebook
+
+    cfg = aqlm_2x8(64, group=8)
+    d_out, batch = 128, 3
+    params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params, block_j=128)
+    x = jax.random.normal(jax.random.PRNGKey(7), (batch, cfg.d_in), jnp.float32)
+    got = dequant_matmul(cfg, packed, x, block_j=128, tables="i8", interpret=True)
+
+    d, m, n, k = cfg.d_subvec, cfg.n_subvec, cfg.n_codebook, cfg.n_cluster
+    G, quarter = cfg.n_groups, d // 4
+    cb = np.asarray(broadcast_codebook(cfg, packed.codebook), np.float32)
+    t = np.transpose(cb, (3, 1, 0, 2)).reshape(d, G, k)  # (d, G, K)
+    s = np.maximum(np.abs(t).max(axis=2) / 127.0, 1e-12)  # (d, G)
+    tq = np.clip(np.round(t / s[:, :, None]), -127, 127).astype(np.int32)
+    # x folding — identical to the kernel path
+    xq = np.asarray(x).reshape(batch, m, quarter, 4).transpose(0, 2, 1, 3)
+    xq = np.broadcast_to(xq[:, :, None], (batch, quarter, n, m, 4))
+    sw = s.reshape(quarter, 4, n, m).transpose(0, 2, 3, 1)
+    x4 = (xq * sw[None]).reshape(batch, quarter * 4 * m * n)
+    xs = np.maximum(np.abs(x4).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    xi = np.clip(np.round(x4 / xs), -127, 127).astype(np.int32)
+    # integer weight matrix: col (q, g, j') → tq[4q+j', g, codes[g, jj]]
+    idx = np.asarray(packed.codes_t)[:G, :d_out].astype(np.int64)  # (G, d_out)
+    w_cols = np.stack(
+        [
+            np.take_along_axis(tq[4 * q + j], idx, axis=1)  # (G, d_out)
+            for q in range(quarter)
+            for j in range(4)
+        ]
+    )  # (d, G, d_out) in (q, j') major order
+    w_int = (
+        w_cols.reshape(quarter, 4, G, d_out)
+        .transpose(0, 2, 1, 3)
+        .reshape(quarter * 4 * m * n, d_out)
+    )
+    y = (xi @ w_int).astype(np.float32) * xs
+    y = y * np.asarray(packed.scales)[:, :d_out]
+    np.testing.assert_array_equal(np.asarray(got), y)
+
+
+def test_dequant_matmul_i8_grid_split(rng):
+    """70B w_down geometry (d_in=28672): the resident quad tables exceed the
+    scoped-VMEM budget, so the i8 path must take the v3 grid-split form (one
+    q-slice resident, out accumulated across q) and still match golden."""
+    cfg = aqlm_2x8(28672, group=8, shared_codebook=True)
+    params = init_vq_params(rng, cfg, 256, dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params, block_j=256)
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, cfg.d_in), jnp.float32)
+    got = dequant_matmul(cfg, packed, x, block_j=256, tables="i8", interpret=True)
+    want = golden.fp_gemm(cfg, params, x)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=5e-2, atol=5e-2
     )
 
 

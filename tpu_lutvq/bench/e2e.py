@@ -30,6 +30,10 @@ MODELS = {
                n_kv_heads=16, max_seq=1024),
     "7b": dict(vocab_size=32000, hidden=4096, ffn=11008, n_layers=32, n_heads=32,
                n_kv_heads=32, max_seq=2048),
+    # Llama-2-13B geometry (BASELINE config 4 single-chip leg): ~3.3 GB of
+    # 2-bit codes + 840 MB int8 KV at B=1 S=2048 fits the 16 GB v5e HBM
+    "13b": dict(vocab_size=32000, hidden=5120, ffn=13824, n_layers=40,
+                n_heads=40, n_kv_heads=40, max_seq=2048),
 }
 
 

@@ -48,6 +48,11 @@ def run(model: str = "7b", batch: int = 1, proj: str = "gate_proj",
     )
     results["lut_gemv"] = bench_time(lambda x: lut_gemv(cfg, packed, x), x, n=64)
     results["dequant_mm"] = bench_time(lambda x: dequant_matmul(cfg, packed, x), x, n=64)
+    # the W8A8 quad-table variant: half of bf16x2's gathers (item 8's
+    # candidate for closing the 412 -> 250 us gap), opt-in weight precision
+    results["dequant_mm_i8"] = bench_time(
+        lambda x: dequant_matmul(cfg, packed, x, tables="i8"), x, n=64
+    )
 
     auto = pick_strategy(cfg, d_out, batch)
     rows = []

@@ -32,8 +32,10 @@ from tpu_lutvq.kernels.lut_ctor import LANE
 from tpu_lutvq.kernels.lut_gemv import (
     PackedVQ,
     _bitcast_pair_rows,
+    _bitcast_quad_rows,
     _resolve_block,
     _round_up,
+    _u8w,
     _valid_width,
 )
 
@@ -86,6 +88,159 @@ def build_gather_tables_bf16x2(cfg: VQConfig, codebook: jax.Array) -> jax.Array:
         ((0, 0), (0, g_pad - cfg.n_groups), (0, max(0, LANE - cfg.n_cluster))),
     )
     return packed.reshape(cfg.d_subvec // 2 * g_pad, max(cfg.n_cluster, LANE))
+
+
+def build_gather_tables_i8(
+    cfg: VQConfig, codebook: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Word-QUAD int8 gather tables: one int32 entry packs int8-quantized
+    codebook words ``w = 4q .. 4q+3`` in bytes 0..3 — one 32-bit lane-gather
+    reconstructs FOUR weight words (vs bf16x2's two), halving the gather
+    count that bounds the bf16x2 kernel (measured: gathers, not adds, are
+    the VPU bottleneck — VERDICT r2 item 8 / the reference's int8-LUT design
+    point, lut_ctor.cc:232-260, taken to the dequant path).
+
+    Quantization is per (w, group) table row — each row maps to exactly ONE
+    column of the n-duplicated x, so the row scales fold into x with no
+    approximation (the contraction is Σ_col x[col]·table[row(col), j]).
+
+    Returns ``(d/4 · G_pad, Kp)`` int32 tables (row ``q·G_pad + (n·M + m)``)
+    and the ``(d, G)`` float32 per-row scales.  Requires d_subvec % 4 == 0.
+    """
+    if cfg.d_subvec % 4:
+        raise ValueError("i8 quad tables require d_subvec % 4 == 0")
+    cb = broadcast_codebook(cfg, codebook).astype(jnp.float32)  # (M, N, K, d)
+    g_pad = _round_up(cfg.n_groups, 8)
+    t = jnp.transpose(cb, (3, 1, 0, 2))  # (d, N, M, K)
+    t = t.reshape(cfg.d_subvec, cfg.n_groups, cfg.n_cluster)
+    s = jnp.maximum(jnp.max(jnp.abs(t), axis=2) / 127.0, 1e-12)  # (d, G)
+    q = jnp.clip(jnp.round(t / s[:, :, None]), -127, 127).astype(jnp.int8)
+    qq = q.reshape(cfg.d_subvec // 4, 4, cfg.n_groups, cfg.n_cluster)
+    w = (
+        _u8w(qq[:, 0])
+        | (_u8w(qq[:, 1]) << 8)
+        | (_u8w(qq[:, 2]) << 16)
+        | (_u8w(qq[:, 3]) << 24)
+    ).astype(jnp.int32)
+    w = jnp.pad(
+        w,
+        (
+            (0, 0),
+            (0, g_pad - cfg.n_groups),
+            (0, max(0, LANE - cfg.n_cluster)),
+        ),
+    )
+    return w.reshape(-1, max(cfg.n_cluster, LANE)), s
+
+
+def _dequant_mm_i8_kernel(
+    tables_ref,  # (d/4·g_pad, Kp) i32 — quad int8 tables, resident
+    codes_ref,  # (g_pad, bj) u8
+    x_ref,  # (b, d/4·4mn) int8 — scale-folded, token-quantized activations
+    out_ref,  # (b, bj) f32 — exact int32 sums, cast (scales applied outside)
+    *,
+    b,
+    m,
+    n,
+    k,
+    g_pad,
+    quarter,
+    block_j,
+    interpret,
+):
+    """W8A8 dequant-matmul: int8 weight words, int8 activations, exact int32
+    MXU accumulation.  Per code tile: ``d/4`` gather words (2 gathers + select
+    at K=256) each bitcast to 4 int8 rows, one int8 dot per q accumulated in
+    int32 vregs.  Max |acc| ≤ 127²·d_in·N < 2^31 for every supported shape
+    (7B w_down: 3.6e8), so the integer sums are exact; the f32 cast at the
+    end loses only ~1e-7 relative — far below the int8 quantization error.
+    """
+    two_gather = k > LANE
+    mn4 = 4 * m * n
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
+        if two_gather:
+            is_lo = idx < LANE
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+        else:
+            idx_g = idx
+        acc = None
+        for q in range(quarter):
+            table = tables_ref[q * g_pad : (q + 1) * g_pad, :]
+            if two_gather:
+                lo = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+                hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_g, axis=1)
+                sel = jnp.where(is_lo, lo, hi)
+            else:
+                sel = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+            rows = _bitcast_quad_rows(sel[: m * n, :], interpret)  # (4mn,128) i8
+            part = jax.lax.dot_general(
+                x_ref[:, q * mn4 : (q + 1) * mn4],
+                rows,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (b, 128) exact
+            acc = part if acc is None else acc + part
+        out_ref[:, t * LANE : (t + 1) * LANE] = acc.astype(jnp.float32)
+
+
+def _dequant_mm_i8_kernel_v3(
+    tables_ref,  # (g_pad, Kp) i32 — ONE q-slice of the quad tables
+    codes_ref,  # (g_pad, bj) u8
+    x_ref,  # (b, mn4_pad) int8 — this q's x slice (zero-padded to a lane multiple)
+    out_ref,  # (b, bj) f32 — revisited (accumulated) across the q axis
+    *,
+    m,
+    n,
+    k,
+    quarter,
+    block_j,
+    interpret,
+):
+    """Grid-split W8A8 form for geometries whose resident quad tables exceed
+    the scoped-VMEM budget (70B w_down: 14.7 MiB tables) — the i8 analog of
+    the bf16x2 v3 kernel: q rides an inner grid axis, one (g_pad, Kp)
+    sub-table resident at a time, output accumulated across q.  The int32
+    partials are cast to f32 per q (exact to ~1e-7 relative at these
+    magnitudes — far below the int8 quantization error)."""
+    q = pl.program_id(1)
+    two_gather = k > LANE
+    sel_rows = _round_up(4 * m * n, LANE) // 4
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
+        if two_gather:
+            is_lo = idx < LANE
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+        else:
+            idx_g = idx
+        table = tables_ref[...]
+        if two_gather:
+            lo = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+            hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_g, axis=1)
+            sel = jnp.where(is_lo, lo, hi)
+        else:
+            sel = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+        sel = sel[: m * n, :]
+        if sel_rows > m * n:
+            sel = jnp.concatenate(
+                [sel, jnp.zeros((sel_rows - m * n, LANE), sel.dtype)], axis=0
+            )
+        rows = _bitcast_quad_rows(sel, interpret)  # (4·sel_rows, 128) int8
+        part = jax.lax.dot_general(
+            x_ref[...],
+            rows,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        ts = slice(t * LANE, (t + 1) * LANE)
+
+        @pl.when(q == 0)
+        def _init():
+            out_ref[:, ts] = part
+
+        @pl.when(q > 0)
+        def _accum():
+            out_ref[:, ts] = out_ref[:, ts] + part
 
 
 def _dequant_mm_bf16x2_kernel(
@@ -313,7 +468,10 @@ def dequant_matmul(
 
     tables="bf16x2" (default): word-pair int32 tables — half the gathers,
     bf16 MXU (serving precision).  "f32": full-precision tables (reference
-    oracle path; also required for odd d_subvec).
+    oracle path; also required for odd d_subvec).  "i8": word-QUAD int8
+    tables + per-token int8 activations (W8A8) — half of bf16x2's gathers
+    again, exact int32 MXU accumulation; opt-in weight-precision trade
+    (measured rel err vs golden ≲1%, see tests/test_dequant_mm.py).
     """
     from tpu_lutvq.kernels.lut_ctor import resolve_interpret
 
@@ -326,7 +484,11 @@ def dequant_matmul(
             strategy="dequant_mm",
         )
         block_j = block_j or t.block_j
-        batch_tile = batch_tile or t.lut_batch
+        if batch_tile is None:
+            # i8 quad tables are ~half the bf16x2 resident set the tuner
+            # models — the i8 branch sizes its own batch tile against the
+            # actual budget, so don't pre-shrink it here
+            batch_tile = MAX_BATCH_TILE if tables == "i8" else t.lut_batch
     if cfg.n_cluster > 2 * LANE:
         raise ValueError("dequant_matmul supports K ≤ 256 (use load-time dequant for 1x16)")
     if packed.nibbles:
@@ -334,7 +496,7 @@ def dequant_matmul(
             "dequant_matmul cannot read nibble-packed codes (T-MAC packing is a "
             "lookup-kernel layout); pack with nibble_pack=False for this path"
         )
-    if cfg.d_subvec % 2:
+    if cfg.d_subvec % 2 or (tables == "i8" and cfg.d_subvec % 4):
         tables = "f32"
     b_all = x.shape[0]
     if b_all > batch_tile:
@@ -360,6 +522,115 @@ def dequant_matmul(
     bj = _resolve_block(d_out_pad, block_j)
     scales = packed.scales
     has_scales = scales is not None
+
+    if tables == "i8":
+        quarter = d // 4
+        mn4 = 4 * m * n
+        tbl, s_wg = build_gather_tables_i8(cfg, packed.codebook)
+        kp = tbl.shape[-1]
+        # the i8 resident set is ~half of bf16x2's; size the batch tile
+        # against the Mosaic scoped-VMEM budget directly
+        budget = 0.9 * 16 * 2**20
+        fixed = quarter * g_pad * kp * 4 + g_pad * bj  # v2: all q-slices resident
+        per_b = quarter * mn4 + bj * 4  # int8 x row + f32 out row
+        v2_fits = fixed + 8 * per_b <= budget
+        if not v2_fits:  # v3: one q-slice resident, q on the grid
+            mn4_pad = _round_up(mn4, LANE)
+            fixed = g_pad * kp * 4 + g_pad * bj
+            per_b = quarter * mn4_pad + bj * 4
+            if fixed + 8 * per_b > budget:
+                raise ValueError(
+                    f"i8 quad tables for d_in={cfg.d_in} need "
+                    f"{fixed/2**20:.1f} MiB resident even grid-split, over "
+                    f"the 16 MiB Mosaic scoped-VMEM budget — shrink block_j "
+                    f"(now {bj})"
+                )
+        bt = max(8, min(b, int((budget - fixed) // per_b) // 8 * 8))
+        if b > bt:
+            outs = [
+                dequant_matmul(
+                    cfg, packed, x[i : i + bt], block_j=bj, precision=precision,
+                    tables=tables, interpret=interpret, batch_tile=bt,
+                )
+                for i in range(0, b, bt)
+            ]
+            return jnp.concatenate(outs, axis=0)
+        # x columns ordered (q, nn, mm, j), duplicated across the codebook
+        # index nn, with the per-(w, group) table-row scales folded in EXACTLY
+        # (each column feeds one table row), then token-quantized to int8:
+        # x4[b, q·4mn + 4(nn·m + mm) + j] = x[b, mm·d + 4q + j]·s[4q+j, nn·M+mm]
+        xq = x.astype(jnp.float32).reshape(b, m, quarter, 4)
+        xq = jnp.transpose(xq, (0, 2, 1, 3))  # (b, quarter, mm, j)
+        xq = jnp.broadcast_to(xq[:, :, None], (b, quarter, n, m, 4))
+        sw = jnp.transpose(s_wg.reshape(quarter, 4, n, m), (0, 2, 3, 1))
+        x4 = (xq * sw[None]).reshape(b, quarter, mn4)
+        xs = jnp.maximum(
+            jnp.max(jnp.abs(x4), axis=(1, 2), keepdims=True) / 127.0, 1e-12
+        )[:, 0]  # (b, 1) per-token dynamic range
+        x_i8 = jnp.clip(jnp.round(x4 / xs[:, None]), -127, 127).astype(jnp.int8)
+        if v2_fits:
+            out = pl.pallas_call(
+                functools.partial(
+                    _dequant_mm_i8_kernel,
+                    b=b, m=m, n=n, k=cfg.n_cluster, g_pad=g_pad,
+                    quarter=quarter, block_j=bj, interpret=interpret,
+                ),
+                grid=(d_out_pad // bj,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (quarter * g_pad, kp), lambda j: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (b, quarter * mn4), lambda j: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (b, bj), lambda j: (0, j), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
+                interpret=interpret,
+            )(tbl, packed.codes_t, x_i8.reshape(b, quarter * mn4))
+        else:
+            mn4_pad = _round_up(mn4, LANE)
+            if mn4_pad > mn4:
+                x_i8 = jnp.pad(x_i8, ((0, 0), (0, 0), (0, mn4_pad - mn4)))
+            out = pl.pallas_call(
+                functools.partial(
+                    _dequant_mm_i8_kernel_v3,
+                    m=m, n=n, k=cfg.n_cluster, quarter=quarter,
+                    block_j=bj, interpret=interpret,
+                ),
+                # j outer, q inner: codes fetched once per output tile, one
+                # sub-table resident at a time, out accumulated across q
+                grid=(d_out_pad // bj, quarter),
+                in_specs=[
+                    pl.BlockSpec(
+                        (g_pad, kp), lambda j, q: (q, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (g_pad, bj), lambda j, q: (0, j), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (b, mn4_pad), lambda j, q: (0, q),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (b, bj), lambda j, q: (0, j), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
+                interpret=interpret,
+            )(tbl, packed.codes_t, x_i8.reshape(b, quarter * mn4_pad))
+        out = out[:, :valid] * xs  # per-token scale (row scales already in x)
+        if has_scales:
+            out = out * scales[:, :valid]
+        return out
 
     if tables == "bf16x2":
         half = d // 2

@@ -64,9 +64,13 @@ class QuantizedLinear(NamedTuple):
     ) -> jax.Array:
         """x: (..., d_in) → (..., d_out) float32.
 
-        ``variant`` selects the lookup-kernel flavor when the lut_gemv
-        strategy is taken ("auto" → bf16 pair kernels; "f32" for the exact
-        two-gather oracle; "i8" for integer accumulation)."""
+        ``variant`` selects the compute flavor on BOTH kernel strategies:
+        under lut_gemv it picks the lookup kernel ("auto" → bf16 pair
+        kernels; "f32" exact two-gather oracle; "i8" integer accumulation);
+        under dequant_mm it picks the table precision ("f32" exact oracle
+        tables, "i8" W8A8 quad tables — the opt-in weight-precision trade,
+        ~half the gathers of the default bf16x2; ppl delta pinned in
+        tests/test_eval.py)."""
         lead = x.shape[:-1]
         xb = x.reshape(-1, x.shape[-1])
         batch = xb.shape[0]
@@ -87,7 +91,9 @@ class QuantizedLinear(NamedTuple):
         if strategy == "lut_gemv":
             y = lut_gemv(cfg, self.packed, xb, interpret=interpret, variant=variant)
         elif strategy == "dequant_mm":
-            y = dequant_matmul(cfg, self.packed, xb, interpret=interpret)
+            tables = variant if variant in ("f32", "i8") else "bf16x2"
+            y = dequant_matmul(cfg, self.packed, xb, interpret=interpret,
+                               tables=tables)
         elif strategy == "dense_bf16":
             from tpu_lutvq.core.golden import dequantize  # lazy; load-time path
 

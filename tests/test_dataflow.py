@@ -85,7 +85,7 @@ def test_1x16_routed_to_dense():
 def test_sweep_runs_and_writes_csv(tmp_path):
     path = os.path.join(tmp_path, "sweep.csv")
     rows = run_sweep(out_path=path)
-    assert len(rows) == 8 * 4  # 3 auto strategies + the i8 sweep row
+    assert len(rows) == 8 * 5  # 3 auto strategies + the two i8 sweep rows
     assert os.path.exists(path)
     header = open(path).readline()
     assert "Codeword_MB" in header and "Roofline_frac" in header

@@ -81,12 +81,17 @@ def _measure_strategy(cfg, d_out, batch, sname, tiling, pred_s) -> Optional[floa
             cfg, packed, x, block_j=tiling.block_j, lut_batch=tiling.lut_batch,
             variant=variant,
         )
-    elif sname == "dequant_mm":
+    elif sname in ("dequant_mm", "dequant_mm_i8"):
         if cfg.vq_type == "tmac":
             return None  # nibble-free tmac runs the lookup kernel only
         params = init_vq_params(key, cfg, d_out, dtype=jnp.bfloat16, with_scales=True)
         packed = pack_params(cfg, params)
-        fn = lambda x: dequant_matmul(cfg, packed, x, block_j=tiling.block_j)
+        tables = "i8" if sname == "dequant_mm_i8" else "bf16x2"
+        if tables == "i8" and cfg.d_subvec % 4:
+            return None  # quad packing needs d % 4 (falls back to f32 otherwise)
+        fn = lambda x: dequant_matmul(
+            cfg, packed, x, block_j=tiling.block_j, tables=tables
+        )
     else:
         return None
     n = int(min(65536, max(256, 25e-3 / max(pred_s, 1e-9))))

@@ -41,6 +41,10 @@ _OPS_PER_CODE_SHARED = 0.0
 # 400-412us for 11008×1024 codes, d=8 → ~4.2 lane-ops/code-word; the round-1
 # v1 kernel was 8.8).
 _OPS_PER_CODE_WORD_DQ = 4.2
+# W8A8 quad-table dequant (tables='i8'): 4 words per gather word vs bf16x2's
+# 2 — the raw gather/select/bitcast count halves (2+1+1 per QUAD vs per
+# PAIR).  Estimate pending hardware calibration (exp/queued_tpu_runs.py).
+_OPS_PER_CODE_WORD_DQ_I8 = 2.1
 # fixed per-call overhead (launch + epilogue): tiny-workload sweep rows
 # (PQ/RQ, sub-µs predicted) all measure ~2.6 µs regardless of strategy.
 _LAUNCH_OVERHEAD_S = 2.5e-6
@@ -156,6 +160,35 @@ def cost_dequant_mm(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
     )
 
 
+def cost_dequant_i8(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
+    """W8A8 quad-table dequant-matmul (dequant_matmul tables='i8'): half of
+    bf16x2's gather budget at int8 weight/activation precision.  Sweep row
+    only — precision-changing, so not a pick_strategy candidate (same policy
+    as lut_gemv_i8)."""
+    codes, inp, psum, codebook = _base_traffic(cfg, d_out, batch)
+    n_codes = d_out * cfg.n_groups
+    vpu = n_codes * cfg.d_subvec * _OPS_PER_CODE_WORD_DQ_I8
+    mxu = 2 * batch * cfg.d_in * d_out * cfg.n_codebook  # n-duplicated contraction
+    kp = max(cfg.n_cluster, 128)
+    vmem = (
+        cfg.d_subvec // 4 * cfg.n_groups * kp * 4  # quad tables (all q)
+        + batch * cfg.d_in * cfg.n_codebook  # int8 duplicated x
+    )
+    return KernelCost(
+        "dequant_mm_i8",
+        {
+            "codeword": codes,
+            "codebook": codebook,
+            "lut": 0.0,
+            "inp": inp,
+            "psum": psum,
+        },
+        vpu,
+        mxu,
+        vmem,
+    )
+
+
 def cost_lut_gemv_i8(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
     """Integer-accumulate lookup variant (lut_gemv variant='i8'): int8 LUT
     entries packed 4-per-gather-word — the reference's int8-LUT design point
@@ -213,9 +246,13 @@ STRATEGIES = {
     "dense_bf16": cost_dense_bf16,
 }
 
-# strategy rows for the sweep/calibration loop; lut_gemv_i8 is excluded from
-# pick_strategy (precision-changing — see cost_lut_gemv_i8)
-SWEEP_STRATEGIES = {**STRATEGIES, "lut_gemv_i8": cost_lut_gemv_i8}
+# strategy rows for the sweep/calibration loop; the i8 rows are excluded
+# from pick_strategy (precision-changing — see cost_lut_gemv_i8)
+SWEEP_STRATEGIES = {
+    **STRATEGIES,
+    "lut_gemv_i8": cost_lut_gemv_i8,
+    "dequant_mm_i8": cost_dequant_i8,
+}
 
 
 def estimate(
@@ -260,7 +297,7 @@ def tune_tiling(
     kp = max(cfg.n_cluster, 128)
     g_pad = (cfg.n_groups + 7) // 8 * 8
     budget = 0.9 * min(chip.vmem_bytes, _SCOPED_VMEM)
-    if strategy == "dequant_mm":
+    if strategy.startswith("dequant_mm"):
         # resident: tables + x(batch_tile) + codes tile + out tile; pick the
         # widest block that still allows a useful batch tile, then size the
         # batch tile to fill what remains

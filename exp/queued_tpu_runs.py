@@ -7,9 +7,13 @@ One process, strictly sequential (never two TPU processes at once):
 4. bench.py sanity
 Results appended to artifacts/queued_results.txt.
 """
+import os
 import subprocess
 import sys
 import time
+
+# run as `python exp/queued_tpu_runs.py`: sys.path[0] is exp/, not the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "artifacts/queued_results.txt"
 

@@ -74,6 +74,36 @@ def test_dequant_matmul_matches_golden(rng, cfg, d_out, batch, tables, tol):
     )
 
 
+@pytest.mark.parametrize("local", [640, 1376])
+def test_pack_params_sharded_consumable_by_kernel(rng, local):
+    """Public-API sharded packs must use the repack_column_parallel padding
+    rule, or the kernel rejects them at call time (ADVICE r2 medium: local=640
+    padded to 640 vs the expected 1024; local=1376 to 2048 vs 1536).  Each
+    shard chunk, viewed as the per-device array inside shard_map, must run the
+    kernel and match golden on that shard's outputs."""
+    import dataclasses
+
+    shards = 2
+    d_out = local * shards
+    cfg = aqlm_2x8(128, group=8)
+    params = init_vq_params(rng, cfg, d_out, dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params, shards=shards)
+    lp = packed.codes_t.shape[1] // shards
+    view = dataclasses.replace(
+        packed,
+        codes_t=packed.codes_t[:, :lp],
+        scales=None if packed.scales is None else packed.scales[:, :lp],
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.d_in), jnp.float32)
+    y = lut_gemv(cfg, view, x, interpret=True)
+    assert y.shape == (1, local)
+    want = golden.lut_gemm(cfg, params, x)[:, :local]
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(y) / scale, np.asarray(want) / scale, rtol=2e-2, atol=2e-2
+    )
+
+
 def test_dequant_matmul_i8_integer_exactness(rng):
     """The W8A8 path's integer arithmetic is EXACT: the kernel must equal a
     NumPy int32 oracle that applies the identical quantization (per-row table

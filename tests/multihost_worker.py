@@ -103,6 +103,31 @@ def main() -> None:
     ref_by_id = {r.req_id: r.output for r in ref_done}
     assert by_id == ref_by_id, (by_id, ref_by_id)
 
+    # --- paged KV pool across processes (config 4's paged leg): pools
+    # head-sharded over the global mesh, block tables replicated; greedy
+    # outputs must match the slab reference exactly
+    from tpu_lutvq.dist.tp import init_tp_paged_caches
+
+    b_paged = ContinuousBatcher(
+        cfg,
+        sharded,
+        n_slots=2,
+        prefill_fn=prefill,
+        step_fn=step,
+        cache_factory=functools.partial(
+            lambda c, b, mesh=mesh: init_tp_caches(c, b, mesh)
+        ),
+        paged_blocks=8,
+        paged_block_size=8,
+        paged_cache_factory=lambda c, nb, ns: init_tp_paged_caches(
+            c, nb, ns, mesh, block_size=8
+        ),
+    )
+    for i, p in enumerate(prompts):
+        b_paged.submit(Request(req_id=i, prompt=p, max_new_tokens=3))
+    paged_by_id = {r.req_id: r.output for r in b_paged.run(max_steps=30)}
+    assert paged_by_id == ref_by_id, (paged_by_id, ref_by_id)
+
     barrier("done", timeout_s=120)
     print(f"process {pid}: multihost TP decode+batching OK", flush=True)
 

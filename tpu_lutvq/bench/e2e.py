@@ -65,7 +65,8 @@ def auto_choices(cfg: LlamaConfig, batch: int) -> dict:
 
 
 def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
-                strategy: str = "auto", interpret: bool | None = None) -> list[dict]:
+                strategy: str = "auto", interpret: bool | None = None,
+                variant: str = "auto") -> list[dict]:
     """Prefill tier: tokens/s processing a (batch, seq) prompt."""
     from tpu_lutvq.models.llama import (
         init_stacked_caches,
@@ -92,7 +93,7 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
     def prefill(weights, tokens, caches):
         logits, caches = llama_forward(
             cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
-            interpret=interpret, window=win,
+            interpret=interpret, window=win, variant=variant,
         )
         return logits[:, -1], caches
 
@@ -104,10 +105,11 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
     dt = time.perf_counter() - t0
     row = {
         "model": model, "batch": batch, "seq": seq, "strategy": strategy,
+        "variant": variant,
         "prefill_ms": round(dt * 1e3, 1),
         "prefill_tokens_per_s": round(batch * seq / dt, 1),
     }
-    print(f"{model} prefill B={batch} T={seq} [{strategy}]: "
+    print(f"{model} prefill B={batch} T={seq} [{strategy}/{variant}]: "
           f"{row['prefill_ms']} ms, {row['prefill_tokens_per_s']} tok/s")
     return [row]
 
@@ -218,7 +220,7 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.prefill:
         rows = run_prefill(args.model, args.batch, args.prefill, args.strategy,
-                           args.interpret or None)
+                           args.interpret or None, variant=args.variant)
     else:
         rows = run(args.model, args.batch, args.steps, args.strategy,
                    args.interpret or None, scan_layers=args.scan,

@@ -316,6 +316,76 @@ def make_tp_decode_step(
     return jax.jit(wrapped)
 
 
+def make_dp_tp_decode_step(
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    tp_axis: str = "tp",
+    strategy: str = "auto",
+    interpret: bool | None = None,
+    variant: str = "auto",
+):
+    """Jitted 2D (data × tensor) parallel decode step over ``make_mesh(dp,
+    tp)``: the batch shards on ``dp_axis`` (independent replicas — no
+    cross-replica collectives), weights/KV heads shard on ``tp_axis`` exactly
+    as in :func:`make_tp_decode_step` and replicate across ``dp``.  This is
+    the "DP falls out of pjit" leg of SURVEY §2.3, demonstrated rather than
+    asserted; batch and pos must divide by the dp size (slab caches only —
+    the paged allocator is a per-replica object)."""
+    tp = mesh.shape[tp_axis]
+    dp = mesh.shape[dp_axis]
+    local_cfg = local_tp_config(cfg, tp)
+
+    def body(weights, tokens, caches, pos):
+        return llama_decode_step(
+            local_cfg, weights, tokens, caches, pos,
+            strategy=strategy, interpret=interpret, axis_name=tp_axis,
+            axis_size=tp, variant=variant,
+        )
+
+    def wrapped(weights, tokens, caches, pos):
+        if tokens.shape[0] % dp:
+            raise ValueError(f"batch {tokens.shape[0]} must divide dp={dp}")
+        wspecs = tp_weight_specs(cfg, weights, tp_axis)
+        one = KVCache(
+            k_q=P(dp_axis, tp_axis, None, None),
+            v_q=P(dp_axis, tp_axis, None, None),
+            k_scale=P(dp_axis, tp_axis, None),
+            v_scale=P(dp_axis, tp_axis, None),
+        )
+        cspecs = tuple(one for _ in range(cfg.n_layers))
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(wspecs, P(dp_axis), cspecs, P(dp_axis)),
+            out_specs=(P(dp_axis), cspecs),
+            check_vma=False,
+        )
+        return fn(weights, tokens, caches, pos)
+
+    return jax.jit(wrapped)
+
+
+def init_dp_tp_caches(
+    cfg: LlamaConfig, batch: int, mesh: Mesh, dp_axis: str = "dp",
+    tp_axis: str = "tp",
+):
+    """Slab KV caches sharded batch-on-dp × heads-on-tp."""
+    from tpu_lutvq.models.llama import init_caches
+
+    caches = init_caches(cfg, batch)
+    one = KVCache(
+        k_q=P(dp_axis, tp_axis, None, None),
+        v_q=P(dp_axis, tp_axis, None, None),
+        k_scale=P(dp_axis, tp_axis, None),
+        v_scale=P(dp_axis, tp_axis, None),
+    )
+    specs = tuple(one for _ in range(cfg.n_layers))
+    return jax.tree.map(
+        lambda c, s: _put_sharded(c, NamedSharding(mesh, s)), caches, specs
+    )
+
+
 def make_tp_prefill(
     cfg: LlamaConfig,
     mesh: Mesh,

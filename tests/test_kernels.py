@@ -166,6 +166,46 @@ def test_dequant_matmul_i8_grid_split(rng):
     )
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_kernel_zoo_random_configs(seed):
+    """Seeded random-geometry sweep: both kernels × every table/variant that
+    supports the drawn config must match golden.  Catches shape-edge bugs
+    (odd group counts, non-lane d_out, batch vs pair parity) that the named
+    cases miss."""
+    r = np.random.RandomState(100 + seed)
+    d_sub = int(r.choice([4, 8, 16]))
+    m = int(r.choice([7, 16, 24]))
+    n = int(r.choice([1, 2]))
+    k = int(r.choice([16, 128, 256]))
+    d_in = d_sub * m
+    d_out = int(r.choice([96, 200, 256]))
+    batch = int(r.choice([1, 3, 8]))
+    cfg = VQConfig(d_in, m, n, k)
+    params = init_vq_params(
+        jax.random.PRNGKey(seed), cfg, d_out, dtype=jnp.float32,
+        with_scales=bool(r.randint(2)),
+    )
+    packed = pack_params(cfg, params, block_j=128)
+    x = jax.random.normal(jax.random.PRNGKey(1000 + seed), (batch, d_in),
+                          jnp.float32)
+    want = golden.lut_gemm(cfg, params, x)
+    scale = float(jnp.abs(want).max())
+
+    got = lut_gemv(cfg, packed, x, block_j=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=2e-2, atol=2e-2
+    )
+    tables = ["f32", "bf16x2"] + (["i8"] if d_sub % 4 == 0 else [])
+    for tb in tables:
+        got = dequant_matmul(cfg, packed, x, block_j=128, tables=tb,
+                             interpret=True)
+        tol = 5e-2 if tb == "i8" else 3e-2
+        np.testing.assert_allclose(
+            np.asarray(got) / scale, np.asarray(want) / scale,
+            rtol=tol, atol=tol, err_msg=f"tables={tb} cfg={cfg}",
+        )
+
+
 def test_lut_gemv_tmac(rng):
     """T-MAC bit-serial scheme through the same kernel (K=16 padded table)."""
     cfg = tmac(128, bits=3, group=4)

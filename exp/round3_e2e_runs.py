@@ -1,0 +1,79 @@
+"""Round-3 e2e measurement session (run manually once the tunnel is stable;
+strictly sequential, one TPU process).  Results append to
+artifacts/round3_e2e.txt; each block is independent so a tunnel death
+mid-run keeps everything already measured.
+
+Order: cheapest/highest-value first.
+"""
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = "artifacts/round3_e2e.txt"
+
+
+def log(msg):
+    print(msg, flush=True)
+    with open(OUT, "a") as f:
+        f.write(msg + "\n")
+
+
+def run_block(name, fn):
+    t0 = time.time()
+    try:
+        fn()
+        log(f"[{name}] ok in {time.time()-t0:.0f}s")
+    except Exception as e:
+        log(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+
+def main():
+    from tpu_lutvq.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    log(f"=== round3 e2e session {time.strftime('%H:%M:%S')} ===")
+
+    from tpu_lutvq.bench import e2e
+
+    def block(model, batch, steps=64, strategy="auto", variant="auto"):
+        rows = e2e.run(model, batch, steps=steps, strategy=strategy,
+                       variant=variant)
+        for r in rows:
+            log(
+                f"e2e {model} B={batch} [{strategy}/{variant}]: "
+                f"{r['ms_per_step']} ms/step {r['tokens_per_s']} tok/s "
+                + " ".join(f"{k}={v}" for k, v in r.items() if k.startswith("auto_"))
+            )
+
+    # 1. 7B decode, auto policy, the north-star tiers
+    run_block("7b-B1-auto", lambda: block("7b", 1))
+    run_block("7b-B8-auto", lambda: block("7b", 8))
+    run_block("7b-B16-auto", lambda: block("7b", 16, steps=32))
+    # 2. hand-picked comparisons (auto >= hand is VERDICT item 7's bar)
+    run_block("7b-B1-hand-lut", lambda: block("7b", 1, strategy="lut_gemv",
+                                              variant="pair"))
+    run_block("7b-B8-hand-dq", lambda: block("7b", 8, strategy="dequant_mm"))
+    # 3. the W8A8 batch lever
+    run_block("7b-B8-i8", lambda: block("7b", 8, strategy="dequant_mm",
+                                        variant="i8"))
+    run_block("7b-B16-i8", lambda: block("7b", 16, steps=32,
+                                         strategy="dequant_mm", variant="i8"))
+    # 4. 13B single-chip (config-4 geometry)
+    run_block("13b-B1-auto", lambda: block("13b", 1, steps=32))
+    # 5. prefill tier, bf16 vs i8
+    def prefill(variant):
+        rows = e2e.run_prefill("7b", 1, 512, "auto", variant=variant)
+        for r in rows:
+            log(f"prefill 7b T=512 [{variant}]: {r['prefill_ms']} ms "
+                f"{r['prefill_tokens_per_s']} tok/s")
+
+    run_block("7b-prefill-auto", lambda: prefill("auto"))
+    run_block("7b-prefill-i8", lambda: prefill("i8"))
+    log("=== session done ===")
+
+
+if __name__ == "__main__":
+    main()

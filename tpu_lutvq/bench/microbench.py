@@ -23,7 +23,8 @@ from tpu_lutvq.dataflow.traffic import cost_lut_gemv
 from tpu_lutvq.kernels import lut_gemv, pack_params
 
 
-def run(d_out: int = 28672, batch: int = 1, chip_name: str = "v5e") -> list[dict]:
+def run(d_out: int = 28672, batch: int = 1, chip_name: str = "v5e",
+        variant: str = "auto") -> list[dict]:
     chip = CHIPS[chip_name]
     rows = []
     cases = {
@@ -38,12 +39,15 @@ def run(d_out: int = 28672, batch: int = 1, chip_name: str = "v5e") -> list[dict
         )
         packed = pack_params(cfg, params)
         x = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.d_in), jnp.float32)
-        dt = bench_time(lambda x: lut_gemv(cfg, packed, x), x, n=128)
+        dt = bench_time(
+            lambda x: lut_gemv(cfg, packed, x, variant=variant), x, n=128
+        )
         n_lookups = batch * d_out * cfg.n_groups
         pred = cost_lut_gemv(cfg, d_out, batch)
         rows.append(
             {
                 "case": name,
+                "variant": variant,
                 "D": cfg.d_in,
                 "M": cfg.n_subvec,
                 "N": cfg.n_codebook,
@@ -70,9 +74,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--dout", type=int, default=28672)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--variant", default="auto",
+                    help="lookup-kernel variant (auto|f32|pair|pairf|bpair|i8)")
     ap.add_argument("--csv", type=str, default=None)
     args = ap.parse_args()
-    rows = run(args.dout, args.batch)
+    rows = run(args.dout, args.batch, variant=args.variant)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

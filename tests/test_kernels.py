@@ -206,6 +206,58 @@ def test_kernel_zoo_random_configs(seed):
         )
 
 
+def test_zero_points_epilogue_matches_golden(rng):
+    """Asymmetric quantization (W = s·W_q + z): the reference's ZeroPoint
+    kernel template variants (tbl.cc:496-517) realized as a fused z ⊙ Σx XLA
+    epilogue.  Exact on the f32 tiers, bounded on the serving tiers."""
+    cfg = aqlm_2x8(128, group=8)
+    params = init_vq_params(rng, cfg, 256, dtype=jnp.float32,
+                            with_scales=True, with_zeros=True)
+    assert params.zero_points is not None
+    packed = pack_params(cfg, params, block_j=128)
+    x = jax.random.normal(jax.random.PRNGKey(9), (3, 128), jnp.float32)
+    want = golden.fp_gemm(cfg, params, x)  # dense oracle incl. the offset
+    got_g = golden.lut_gemm(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    scale = float(jnp.abs(want).max())
+
+    got = lut_gemv(cfg, packed, x, block_j=128, interpret=True, variant="f32")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    got = dequant_matmul(cfg, packed, x, block_j=128, tables="f32",
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    for got in (
+        lut_gemv(cfg, packed, x, block_j=128, interpret=True),  # auto bf16
+        dequant_matmul(cfg, packed, x, block_j=128, interpret=True),
+        dequant_matmul(cfg, packed, x, block_j=128, tables="i8",
+                       interpret=True),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got) / scale, np.asarray(want) / scale,
+            rtol=5e-2, atol=5e-2,
+        )
+
+
+def test_zero_points_tmac_nibbles(rng):
+    """Asymmetric T-MAC — the configuration zero-points exist FOR in the
+    reference (bit-serial scalar quantization with an offset): nibble-packed
+    codes + zp epilogue through the lookup kernel."""
+    cfg = tmac(128, bits=3, group=4)
+    params = init_vq_params(rng, cfg, 256, dtype=jnp.float32,
+                            with_scales=True, with_zeros=True)
+    packed = pack_params(cfg, params, block_j=256, nibble_pack=True)
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 128), jnp.float32)
+    want = golden.lut_gemm(cfg, params, x)
+    got = lut_gemv(cfg, packed, x, block_j=256, interpret=True)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=2e-2, atol=2e-2
+    )
+
+
 def test_lut_gemv_tmac(rng):
     """T-MAC bit-serial scheme through the same kernel (K=16 padded table)."""
     cfg = tmac(128, bits=3, group=4)

@@ -34,6 +34,9 @@ def dequantize(cfg: VQConfig, params: VQParams, dtype=jnp.float32) -> jax.Array:
     w = w.reshape(params.d_out, cfg.d_in)
     if params.scales is not None:
         w = w * params.scales.astype(dtype)[:, None]
+    if params.zero_points is not None:
+        # asymmetric offset per output row: W = s·W_q + z (tbl.cc:496-517)
+        w = w + params.zero_points.astype(dtype)[:, None]
     return w
 
 
@@ -73,6 +76,12 @@ def lut_gemm(
     out = jax.vmap(one_batch)(lut_flat)  # (B, O)
     if params.scales is not None:
         out = out * params.scales.astype(out.dtype)[None, :]
+    if params.zero_points is not None:
+        # y += z ⊙ Σx (W = s·W_q + z per row ⇒ the offset times the
+        # activation sum — the reference's ZeroPoint epilogue)
+        out = out + x.astype(out.dtype).sum(-1, keepdims=True) * (
+            params.zero_points.astype(out.dtype)[None, :]
+        )
     if out_scale is not None:
         out = out * out_scale.reshape(1, params.d_out)
     return out

@@ -34,11 +34,16 @@ class VQParams(NamedTuple):
     codes:    ``(d_out, M, N)`` unsigned integer indices
     scales:   optional ``(d_out,)`` per-output-channel scale
               (reference: vq.py:300-301; AQLM per-row ``scales``)
+    zero_points: optional ``(d_out,)`` asymmetric offset: ``W = s·W_q + z``
+              per output row, so ``y += z ⊙ Σx`` — the reference's ZeroPoint
+              epilogue variants (tbl.cc:496-517), a free XLA elementwise on
+              TPU rather than a kernel template parameter
     """
 
     codebook: jax.Array
     codes: jax.Array
     scales: Optional[jax.Array] = None
+    zero_points: Optional[jax.Array] = None
 
     @property
     def d_out(self) -> int:
@@ -64,9 +69,10 @@ def init_vq_params(
     d_out: int,
     dtype=jnp.float16,
     with_scales: bool = False,
+    with_zeros: bool = False,
 ) -> VQParams:
     """Random VQ parameters (the reference's synthetic-fixture path, vq.py:38-66)."""
-    k_cb, k_cw, k_sc = jax.random.split(key, 3)
+    k_cb, k_cw, k_sc, k_zp = jax.random.split(key, 4)
     m_cb = 1 if cfg.shared_codebook else cfg.n_subvec
     if cfg.vq_type == "tmac":
         codebook = tmac_codebook(cfg, dtype)
@@ -88,7 +94,13 @@ def init_vq_params(
         scales = (
             1.0 + 0.1 * jax.random.normal(k_sc, (d_out,), dtype=jnp.float32)
         ).astype(dtype)
-    return VQParams(codebook=codebook, codes=codes, scales=scales)
+    zeros = None
+    if with_zeros:
+        zeros = (
+            0.05 * jax.random.normal(k_zp, (d_out,), dtype=jnp.float32)
+        ).astype(dtype)
+    return VQParams(codebook=codebook, codes=codes, scales=scales,
+                    zero_points=zeros)
 
 
 def broadcast_codebook(cfg: VQConfig, codebook: jax.Array) -> jax.Array:

@@ -112,6 +112,12 @@ def overlapped_row_parallel_gemv(
             scales_c = jax.lax.dynamic_slice(
                 packed.scales, (jnp.int32(0), blk.astype(jnp.int32) * chunk), (1, chunk)
             )
+        zps_c = None
+        if packed.zero_points is not None:
+            zps_c = jax.lax.dynamic_slice(
+                packed.zero_points,
+                (jnp.int32(0), blk.astype(jnp.int32) * chunk), (1, chunk),
+            )
         sub = PackedVQ(
             codes_t=codes_c,
             codebook=packed.codebook,
@@ -119,6 +125,7 @@ def overlapped_row_parallel_gemv(
             d_out=chunk,
             shards=1,
             nibbles=packed.nibbles,
+            zero_points=zps_c,
         )
         return lut_gemv(
             cfg, sub, x_local, block_j=chunk, interpret=interpret, variant=variant

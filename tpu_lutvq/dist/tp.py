@@ -86,6 +86,7 @@ def repack_row_parallel(vq_cfg: VQConfig, packed: PackedVQ, tp: int) -> PackedVQ
         codebook=packed.codebook,
         scales=packed.scales,
         d_out=packed.d_out,
+        zero_points=packed.zero_points,
     )
 
 
@@ -122,11 +123,14 @@ def repack_column_parallel(packed: PackedVQ, tp: int) -> PackedVQ:
         scales=None if packed.scales is None else chunk(packed.scales[:, :d_out], 1.0),
         d_out=d_out,
         shards=tp,
+        zero_points=None if packed.zero_points is None
+        else chunk(packed.zero_points[:, :d_out], 0.0),
     )
 
 
 def _packed_spec(
-    column: bool, shared_cb: bool, axis: str, has_scales: bool, d_out: int, shards: int
+    column: bool, shared_cb: bool, axis: str, has_scales: bool, d_out: int,
+    shards: int, has_zp: bool = False,
 ) -> PackedVQ:
     """PartitionSpec tree for one PackedVQ (aux mirrors the real tree so
     treedefs match under jax.tree.map)."""
@@ -137,14 +141,17 @@ def _packed_spec(
             scales=P(None, axis) if has_scales else None,
             d_out=d_out,
             shards=shards,
+            zero_points=P(None, axis) if has_zp else None,
         )
-    # row-parallel: shard group axis (+ codebook subvectors if per-subvector)
+    # row-parallel: shard group axis (+ codebook subvectors if per-subvector);
+    # zero_points replicate — each shard adds z·Σx_local, psum restores z·Σx
     return PackedVQ(
         codes_t=P(axis, None),
         codebook=P() if shared_cb else P(axis),
         scales=P() if has_scales else None,
         d_out=d_out,
         shards=shards,
+        zero_points=P() if has_zp else None,
     )
 
 
@@ -159,6 +166,7 @@ def tp_weight_specs(cfg: LlamaConfig, weights: LlamaWeights, axis: str = "tp") -
             packed=_packed_spec(
                 column, shared, axis, has_scales,
                 layer_w.packed.d_out, layer_w.packed.shards,
+                has_zp=layer_w.packed.zero_points is not None,
             )
         )
 
@@ -260,7 +268,7 @@ def shard_llama_tp(
     weights = weights._replace(layers=tuple(fix_layer(lw) for lw in weights.layers))
     specs = tp_weight_specs(cfg, weights, axis)
     shardings = jax.tree.map(
-        lambda s: NamedSharding(mesh, s),
+        lambda s: None if s is None else NamedSharding(mesh, s),
         specs,
         is_leaf=lambda x: isinstance(x, P) or x is None,
     )

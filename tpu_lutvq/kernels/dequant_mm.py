@@ -31,6 +31,7 @@ from tpu_lutvq.core.params import broadcast_codebook
 from tpu_lutvq.kernels.lut_ctor import LANE
 from tpu_lutvq.kernels.lut_gemv import (
     PackedVQ,
+    _apply_zero_points,
     _bitcast_pair_rows,
     _bitcast_quad_rows,
     _resolve_block,
@@ -630,7 +631,7 @@ def dequant_matmul(
         out = out[:, :valid] * xs  # per-token scale (row scales already in x)
         if has_scales:
             out = out * scales[:, :valid]
-        return out
+        return _apply_zero_points(out, packed, x)
 
     if tables == "bf16x2":
         half = d // 2
@@ -695,7 +696,7 @@ def dequant_matmul(
                 out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
                 interpret=interpret,
             )(tbl, packed.codes_t, x_perm, scales)
-            return out[:, :valid]
+            return _apply_zero_points(out[:, :valid], packed, x)
 
         # pad each p-slice to a lane multiple (the kernel zero-pads the
         # matching gather rows, so the contraction stays exact)
@@ -739,7 +740,7 @@ def dequant_matmul(
             out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
             interpret=interpret,
         )(tbl, packed.codes_t, x_perm, scales)
-        return out[:, :valid]
+        return _apply_zero_points(out[:, :valid], packed, x)
 
     tbl = build_gather_tables(cfg, packed.codebook)
     # columns ordered (w, m): x_perm[b, w*m + mm] = x[b, mm*d + w]
@@ -775,4 +776,4 @@ def dequant_matmul(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(tbl, packed.codes_t, x_perm, scales)
-    return out[:, :valid]
+    return _apply_zero_points(out[:, :valid], packed, x)

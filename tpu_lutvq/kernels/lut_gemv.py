@@ -96,6 +96,10 @@ class PackedVQ:
     # (``full_d_out``).  codebook is stored (out_group, N, K, d_subvec) —
     # slice r holds row r of every entry block.
     out_group: int = 1
+    # asymmetric per-output offset (W = s·W_q + z): applied as z ⊙ Σx in a
+    # fused XLA epilogue after the kernel (the reference's ZeroPoint template
+    # variants, tbl.cc:496-517).  ``(1, d_out_pad)`` float32 or None.
+    zero_points: Optional[jax.Array] = None
 
     @property
     def local_d_out(self) -> int:
@@ -110,7 +114,7 @@ class PackedVQ:
         return self.d_out * self.out_group
 
     def tree_flatten(self):
-        return (self.codes_t, self.codebook, self.scales), (
+        return (self.codes_t, self.codebook, self.scales, self.zero_points), (
             self.d_out,
             self.shards,
             self.nibbles,
@@ -119,7 +123,7 @@ class PackedVQ:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        codes_t, codebook, scales = children
+        codes_t, codebook, scales, zero_points = children
         d_out, shards, nibbles, out_group = aux
         return cls(
             codes_t=codes_t,
@@ -129,6 +133,7 @@ class PackedVQ:
             shards=shards,
             nibbles=nibbles,
             out_group=out_group,
+            zero_points=zero_points,
         )
 
 
@@ -164,6 +169,11 @@ def pack_params(
     scales = None
     if params.scales is not None:
         scales = params.scales.astype(jnp.float32).reshape(1, d_out)
+    zero_points = None
+    if params.zero_points is not None:
+        if out_group > 1:
+            raise ValueError("zero_points do not compose with out_group > 1")
+        zero_points = params.zero_points.astype(jnp.float32).reshape(1, d_out)
 
     local = d_out // shards
     if shards > 1:
@@ -195,6 +205,8 @@ def pack_params(
     codes_t = pad_chunks(codes_t, 0)
     if scales is not None:
         scales = pad_chunks(scales, 1.0)
+    if zero_points is not None:
+        zero_points = pad_chunks(zero_points, 0.0)
     if nibble_pack:
         # 4-bit codes: two consecutive groups per byte (T-MAC storage,
         # reference vq.py:62 / lut_ctor.cc interleaved nibble layout) —
@@ -220,6 +232,7 @@ def pack_params(
         shards=shards,
         nibbles=nibble_pack,
         out_group=out_group,
+        zero_points=zero_points,
     )
 
 
@@ -835,4 +848,16 @@ def lut_gemv(
                 variant=v,
             )
         )
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return _apply_zero_points(y, packed, x)
+
+
+def _apply_zero_points(y: jax.Array, packed: PackedVQ, x: jax.Array) -> jax.Array:
+    """Asymmetric-offset epilogue (W = s·W_q + z ⇒ y += z ⊙ Σx) — one fused
+    XLA elementwise, the TPU form of the reference's ZeroPoint kernel
+    template variants (tbl.cc:496-517).  Under row-parallel TP each shard
+    adds z·Σx_local and the psum restores z·Σx exactly."""
+    if packed.zero_points is None:
+        return y
+    xsum = x.astype(jnp.float32).sum(-1, keepdims=True)
+    return y + xsum * packed.zero_points[:, : y.shape[-1]]

@@ -108,7 +108,10 @@ class QuantizedLinear(NamedTuple):
             scales = None
             if self.packed.scales is not None:
                 scales = self.packed.scales[0, : self.packed.d_out]
-            w = dequantize(cfg, VQParams(self.packed.codebook, codes, scales))
+            zps = None
+            if self.packed.zero_points is not None:
+                zps = self.packed.zero_points[0, : self.packed.d_out]
+            w = dequantize(cfg, VQParams(self.packed.codebook, codes, scales, zps))
             y = xb.astype(jnp.float32) @ w.T
         else:
             raise ValueError(f"unknown strategy {strategy!r}")

@@ -290,11 +290,14 @@ def save_lutvq(path: str, cfg: LlamaConfig, weights: LlamaWeights) -> None:
                     "nibbles": p.nibbles,
                     "out_group": p.out_group,
                     "has_scales": p.scales is not None,
+                    "has_zp": p.zero_points is not None,
                 }
                 put(f"{base}.codes_t", p.codes_t)
                 put(f"{base}.codebook", p.codebook)
                 if p.scales is not None:
                     put(f"{base}.scales", p.scales)
+                if p.zero_points is not None:
+                    put(f"{base}.zero_points", p.zero_points)
         meta["layers"].append(lmeta)
     save_file(tensors, path, metadata={"lutvq": json.dumps(meta)})
 
@@ -328,6 +331,8 @@ def load_lutvq(path: str) -> tuple[LlamaConfig, LlamaWeights]:
                             shards=fm["shards"],
                             nibbles=fm["nibbles"],
                             out_group=fm.get("out_group", 1),
+                            zero_points=get(f"{base}.zero_points")
+                            if fm.get("has_zp") else None,
                         )
                     )
             layers.append(

@@ -52,6 +52,37 @@ def test_refit_recovers_additively_decomposable_1x16(rng):
     assert err < 1e-4, err
 
 
+def test_fit_vq_zero_points_beats_symmetric_on_offset_weights(rng):
+    """Asymmetric fit (with_zero_points=True) must beat the symmetric fit on
+    weights with a per-row DC offset — the case the reference's ZeroPoint
+    variants exist for — and the result must serve correctly vs golden."""
+    from tpu_lutvq.core.config import aqlm_2x8
+    from tpu_lutvq.core.golden import fp_gemm
+    from tpu_lutvq.core.quantize import fit_vq, quantization_error
+
+    cfg = aqlm_2x8(64, group=8, shared_codebook=True)
+    w = jax.random.normal(rng, (96, 64), jnp.float32)
+    offset = 2.0 + jax.random.normal(jax.random.PRNGKey(31), (96,))
+    w = w + offset[:, None]  # strong per-row DC component
+
+    p_sym = fit_vq(jax.random.PRNGKey(32), w, cfg, iters=4)
+    p_asym = fit_vq(jax.random.PRNGKey(32), w, cfg, iters=4,
+                    with_zero_points=True)
+    e_sym = quantization_error(cfg, p_sym, w)
+    e_asym = quantization_error(cfg, p_asym, w)
+    assert e_asym < e_sym, (e_asym, e_sym)
+    # serving parity: fused kernel output matches the dense oracle on the
+    # asymmetric params (zp epilogue exercised through the packed path)
+    from tpu_lutvq.kernels import lut_gemv, pack_params
+
+    packed = pack_params(cfg, p_asym, block_j=128)
+    x = jax.random.normal(jax.random.PRNGKey(33), (2, 64), jnp.float32)
+    got = lut_gemv(cfg, packed, x, block_j=128, interpret=True, variant="f32")
+    want = fp_gemm(cfg, p_asym, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_refit_joint_codebook_documented_quality_bound(rng):
     """The HONEST 1x16 case (VERDICT r2 item 3): a jointly k-means-trained
     codebook — the way real AQLM 1x16 codebooks are made — is NOT additively

@@ -45,6 +45,7 @@ def fit_vq(
     kmeans_iters: int = 15,
     with_scales: bool = True,
     init_codes: jax.Array | None = None,
+    with_zero_points: bool = False,
 ) -> VQParams:
     """Quantize ``w (d_out, d_in)`` into codes + codebooks under ``cfg``.
 
@@ -60,6 +61,14 @@ def fit_vq(
     d_out, d_in = w.shape
     assert d_in == cfg.d_in, (d_in, cfg.d_in)
     m, n, k, g = cfg.n_subvec, cfg.n_codebook, cfg.n_cluster, cfg.d_subvec
+    zero_points = None
+    if with_zero_points:
+        # asymmetric fit: remove the per-row mean first (W = s·W_q + z with
+        # z = row mean) — centers the subvector samples so the codebook
+        # spends no entries encoding a common offset (tbl.cc ZeroPoint
+        # analog at fit time)
+        zero_points = jnp.mean(w.astype(jnp.float32), axis=1)
+        w = w.astype(jnp.float32) - zero_points[:, None]
     x = w.astype(jnp.float32).reshape(d_out * m, g)  # subvector samples
 
     cbs = []
@@ -107,7 +116,8 @@ def fit_vq(
         scales = (num / den).astype(jnp.float32)
 
     # codebook is (1, N, K, g); broadcast_codebook expands it for any cfg
-    return VQParams(codebook=codebook, codes=codes_arr, scales=scales)
+    return VQParams(codebook=codebook, codes=codes_arr, scales=scales,
+                    zero_points=zero_points)
 
 
 def refit_to_2x8(

@@ -82,6 +82,88 @@ def test_flash_window_invariance():
         np.testing.assert_allclose(np.asarray(o), np.asarray(outs[0]), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("rep", [1, 2])
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+def test_flash_prefill_matches_xla(rep, dtype):
+    """Tiled prefill kernel vs the einsum oracle, multi-token queries."""
+    from tpu_lutvq.kernels.flash_prefill import flash_prefill_attention
+
+    b, hkv, s_max, dh, t = 2, 2, 256, 64, 24
+    h = hkv * rep
+    cache = _mk_cache(jax.random.PRNGKey(0), b, hkv, s_max, dh, 48, dtype)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, dh))
+    off = jnp.asarray([0, 7], jnp.int32)  # chunked-prefill offsets
+    cfg = LlamaConfig.tiny(
+        n_heads=h, n_kv_heads=hkv, hidden=h * dh, max_seq=s_max
+    )
+    want = _attention_window(cfg, q, cache, off, s_max).reshape(b, t, h, dh)
+    # block_q=8 forces multiple query blocks (t=24 → 3) + the t%block path;
+    # block_s=64 forces 4 KV blocks with causal skipping above the diagonal
+    got = flash_prefill_attention(
+        q, cache.k_q, cache.v_q, cache.k_scale, cache.v_scale, off,
+        window=s_max, block_q=8, block_s=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_prefill_window_and_blocks_invariant():
+    """Any (window, block) covering offset+T gives the same answer."""
+    from tpu_lutvq.kernels.flash_prefill import flash_prefill_attention
+
+    b, hkv, s_max, dh, t = 1, 2, 512, 128, 17
+    cache = _mk_cache(jax.random.PRNGKey(4), b, hkv, s_max, dh, 32)
+    q = jax.random.normal(jax.random.PRNGKey(5), (b, t, hkv, dh))
+    off = jnp.asarray([9], jnp.int32)
+    outs = [
+        flash_prefill_attention(
+            q, cache.k_q, cache.v_q, cache.k_scale, cache.v_scale, off,
+            window=w, block_q=bq, block_s=bs, interpret=True,
+        )
+        for (w, bq, bs) in [(64, 32, 32), (128, 8, 64), (512, 256, 256)]
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(outs[0]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_flash_prefill_window_truncation_raises():
+    from tpu_lutvq.kernels.flash_prefill import flash_prefill_attention
+
+    b, hkv, s_max, dh, t = 1, 1, 256, 64, 16
+    cache = _mk_cache(jax.random.PRNGKey(6), b, hkv, s_max, dh, 40)
+    q = jax.random.normal(jax.random.PRNGKey(7), (b, t, hkv, dh))
+    off = jnp.asarray([20], jnp.int32)  # needs window ≥ 36
+    with pytest.raises(ValueError, match="truncates attention"):
+        flash_prefill_attention(
+            q, cache.k_q, cache.v_q, cache.k_scale, cache.v_scale, off,
+            window=32, block_s=32, interpret=True,
+        )
+
+
+def test_flash_prefill_in_llama():
+    """Full-model prefill: attn="flash" logits == attn="xla" logits (bf16 KV
+    + f32 projections so the comparison isolates the attention paths)."""
+    from tpu_lutvq.models.llama import init_caches, init_llama, llama_forward
+
+    cfg = LlamaConfig.tiny(kv_dtype="bf16")
+    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, cfg.vocab_size)
+    caches = init_caches(cfg, 2)
+    args = (cfg, weights, tokens)
+    l_flash, _ = llama_forward(
+        *args, caches, jnp.int32(0), strategy="lut_gemv", interpret=True,
+        attn="flash", variant="f32",
+    )
+    l_xla, _ = llama_forward(
+        *args, caches, jnp.int32(0), strategy="lut_gemv", interpret=True,
+        attn="xla", variant="f32",
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_flash), np.asarray(l_xla), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_flash_in_llama_decode():
     """Full model: flash decode logits == xla decode logits.
 

@@ -66,7 +66,7 @@ def auto_choices(cfg: LlamaConfig, batch: int) -> dict:
 
 def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
                 strategy: str = "auto", interpret: bool | None = None,
-                variant: str = "auto") -> list[dict]:
+                variant: str = "auto", attn: str = "xla") -> list[dict]:
     """Prefill tier: tokens/s processing a (batch, seq) prompt."""
     from tpu_lutvq.models.llama import (
         init_stacked_caches,
@@ -93,7 +93,7 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
     def prefill(weights, tokens, caches):
         logits, caches = llama_forward(
             cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
-            interpret=interpret, window=win, variant=variant,
+            interpret=interpret, window=win, variant=variant, attn=attn,
         )
         return logits[:, -1], caches
 
@@ -105,18 +105,19 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
     dt = time.perf_counter() - t0
     row = {
         "model": model, "batch": batch, "seq": seq, "strategy": strategy,
-        "variant": variant,
+        "variant": variant, "attn": attn,
         "prefill_ms": round(dt * 1e3, 1),
         "prefill_tokens_per_s": round(batch * seq / dt, 1),
     }
-    print(f"{model} prefill B={batch} T={seq} [{strategy}/{variant}]: "
+    print(f"{model} prefill B={batch} T={seq} [{strategy}/{variant}/{attn}]: "
           f"{row['prefill_ms']} ms, {row['prefill_tokens_per_s']} tok/s")
     return [row]
 
 
 def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         strategy: str = "auto", interpret: bool | None = None,
-        scan_layers: bool = False, variant: str = "auto") -> list[dict]:
+        scan_layers: bool = False, variant: str = "auto",
+        attn: str = "xla") -> list[dict]:
     """scan_layers=False (default): python-loop layer execution — each
     layer's weights are persistent buffers passed straight to the kernels.
     lax.scan over stacked weights must materialize a per-layer weight-slice
@@ -158,7 +159,7 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
             tokens, caches = carry
             logits, caches = llama_decode_step(
                 cfg, weights, tokens, caches, pos0 + i, strategy=strategy,
-                interpret=interpret, window=window, variant=variant,
+                interpret=interpret, window=window, variant=variant, attn=attn,
             )
             return (jnp.argmax(logits, axis=-1).astype(jnp.int32), caches), None
 
@@ -192,13 +193,14 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         "batch": batch,
         "strategy": strategy,
         "variant": variant,
+        "attn": attn,
         "ms_per_step": round(dt * 1e3, 2),
         "tokens_per_s": round(toks_per_s, 1),
         "approx_param_elems": n_params,
         **auto_choices(cfg, batch),
     }
     print(
-        f"{model} B={batch} [{strategy}/{variant}]: {row['ms_per_step']} ms/step, "
+        f"{model} B={batch} [{strategy}/{variant}/{attn}]: {row['ms_per_step']} ms/step, "
         f"{row['tokens_per_s']} tok/s"
     )
     return [row]
@@ -212,6 +214,8 @@ if __name__ == "__main__":
     ap.add_argument("--strategy", default="auto")
     ap.add_argument("--variant", default="auto",
                     help="lookup-kernel variant (auto|f32|pair|bpair|i8)")
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"],
+                    help="attention path (flash = fused Pallas kernels)")
     ap.add_argument("--scan", action="store_true",
                     help="lax.scan layer execution (fast compile, slower steps)")
     ap.add_argument("--interpret", action="store_true")
@@ -220,11 +224,12 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.prefill:
         rows = run_prefill(args.model, args.batch, args.prefill, args.strategy,
-                           args.interpret or None, variant=args.variant)
+                           args.interpret or None, variant=args.variant,
+                           attn=args.attn)
     else:
         rows = run(args.model, args.batch, args.steps, args.strategy,
                    args.interpret or None, scan_layers=args.scan,
-                   variant=args.variant)
+                   variant=args.variant, attn=args.attn)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

@@ -1,0 +1,220 @@
+"""Flash-prefill attention over the INT8 KV cache.
+
+Prefill previously ran only the XLA einsum path (models/llama.
+_attention_window), which materializes the full (B, H, T, S) score tensor in
+HBM — at 7B B=8 T=S=2048 that is 8·32·2048²·4 B ≈ 4.3 GB of transient scores
+per layer, round-tripped twice (write + softmax read).  This kernel is the
+standard tiled online-softmax prefill: scores never leave VMEM, int8 K/V
+blocks dequantize in VMEM with their per-row scales folded into the small
+score/prob tiles (same trick as kernels/flash_decode.py), and causal
+structure skips whole KV blocks above the diagonal per sequence offset.
+
+Layout mirrors flash_decode: one grid program handles one (batch, kv-head,
+query-block) triple and streams KV blocks innermost; GQA query heads ride
+as a fused (rep·BQ) row dimension so the score matmul stays one big MXU op.
+Per-sequence offsets (continuous batching / chunked prefill) come in through
+the same scalar-prefetch ``pos`` argument.
+
+Reference analog: none — the reference has no attention (batch-1 GEMV
+benchmarks only, benchmark/kernel/rq_lut/benchmark_rq_gemm_cpu.py:115);
+this serves the flash-style-attention capability mandated by SURVEY.md §5 /
+BASELINE.json alongside the INT8 KV cache.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_lutvq.kernels.lut_ctor import LANE, resolve_interpret
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_S = 256
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    pos_ref,  # (B,) i32 scalar-prefetch: position of q[:, 0] per sequence
+    q_ref,    # (1, 1, rep, BQ, Dh)
+    k_ref,    # (1, 1, BS, Dh) int8|bf16
+    v_ref,    # (1, 1, BS, Dh)
+    ks_ref,   # (1, Hkv, W) f32 — whole per-batch scale plane
+    vs_ref,   # (1, Hkv, W) f32
+    o_ref,    # (1, 1, rep, BQ, Dh) f32
+    m_ref,    # (rep·BQ, LANE) f32 scratch — running max (replicated columns)
+    l_ref,    # (rep·BQ, LANE) f32 scratch — running denominator
+    acc_ref,  # (rep·BQ, Dh) f32 scratch — running numerator
+    *,
+    block_q: int,
+    block_s: int,
+    sm_scale: float,
+    quantized: bool,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    si = pl.program_id(3)
+    last = pl.num_programs(3) - 1
+    pos_b = pos_ref[b]
+    qstart = qi * block_q
+    sstart = si * block_s
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # causal skip: the whole KV block is above every query row's diagonal
+    # when its first key position exceeds the block's last query position
+    @pl.when(sstart <= pos_b + qstart + block_q - 1)
+    def _compute():
+        rep = q_ref.shape[2]
+        q = q_ref[0, 0].reshape(rep * block_q, q_ref.shape[4])
+        q = q.astype(jnp.bfloat16)
+        k = k_ref[0, 0].astype(jnp.bfloat16)  # (BS, Dh) — int8→bf16 in VMEM
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (rep·BQ, BS)
+        scores = scores * sm_scale
+        if quantized:  # fold k row-scales into the small score tile
+            ks = ks_ref[0, pl.ds(h, 1), pl.ds(sstart, block_s)]  # (1, BS)
+            scores = scores * ks
+        # row r = rep_idx·BQ + t ⇒ query timeline index t = r mod BQ
+        row_t = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % block_q
+        qpos = pos_b + qstart + row_t
+        span = sstart + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(span <= qpos, scores, NEG_INF)
+
+        m_prev = m_ref[...]  # (rep·BQ, LANE) replicated
+        s_max = jnp.max(scores, axis=1, keepdims=True)  # (rep·BQ, 1)
+        m_new = jnp.maximum(m_prev, s_max)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new[:, :1])
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_new
+        if quantized:  # fold v row-scales into the prob tile
+            vs = vs_ref[0, pl.ds(h, 1), pl.ds(sstart, block_s)]  # (1, BS)
+            p = p * vs
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rep·BQ, Dh)
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(si == last)
+    def _finalize():
+        rep = o_ref.shape[2]
+        out = acc_ref[...] / l_ref[:, :1]
+        o_ref[0, 0] = out.reshape(rep, block_q, out.shape[-1])
+
+
+def flash_prefill_attention(
+    q: jax.Array,        # (B, T, H, Dh) — post-RoPE queries
+    k_q: jax.Array,      # (B, H_kv, S, Dh) int8 or bf16 (new rows already written)
+    v_q: jax.Array,      # (B, H_kv, S, Dh)
+    k_scale: jax.Array,  # (B, H_kv, S) f32
+    v_scale: jax.Array,  # (B, H_kv, S) f32
+    t_offset: jax.Array, # (B,) i32 — absolute position of q[:, 0] per sequence
+    *,
+    window: int,         # static KV prefix streamed; must cover max(t_offset)+T
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_s: int = DEFAULT_BLOCK_S,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Causal prefill attention output ``(B, T, H, Dh)`` float32.
+
+    Each query row t attends to cache positions ``s <= t_offset[b] + t``
+    (identical mask to models/llama._attention_window, the oracle).
+    ``window`` bounds the cache prefix streamed from HBM and is rounded up
+    to whole KV blocks; KV blocks entirely above a query block's diagonal
+    are skipped per sequence (chunked-prefill offsets keep the skip exact).
+    """
+    interpret = resolve_interpret(interpret)
+    b, t, h, dh = q.shape
+    hkv, s_max = k_q.shape[1], k_q.shape[2]
+    rep = h // hkv
+    assert h == hkv * rep
+    block_s = min(block_s, s_max)
+    window = min(_round_up(window, block_s), s_max)
+    if window < s_max:  # same concreteness-gated contract as flash_decode
+        try:
+            max_pos = int(np.max(np.asarray(t_offset)))
+        except Exception:
+            max_pos = None
+        if max_pos is not None and max_pos + t > window:
+            raise ValueError(
+                f"window={window} truncates attention: max(t_offset)+T="
+                f"{max_pos + t} rows would never be streamed"
+            )
+    quantized = k_q.dtype == jnp.int8
+    sm_scale = 1.0 / (dh ** 0.5)
+
+    # pad the query timeline to whole blocks (pad rows compute garbage that
+    # is sliced off; their qpos lies beyond every real row so they perturb
+    # nothing — rows are independent in attention)
+    if t <= block_q:
+        block_q = _round_up(t, 8)
+    tp = _round_up(t, block_q)
+    if dh < LANE:  # lane-pad head_dim; zero columns are inert in both dots
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, LANE - dh)))
+        padkv = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, LANE - dh)))
+        k_q, v_q = padkv(k_q), padkv(v_q)
+    dhp = q.shape[-1]
+    if tp > t:
+        q = jnp.pad(q, ((0, 0), (0, tp - t), (0, 0), (0, 0)))
+    # (B, T, H, Dh) → (B, Hkv, rep, T, Dh): kv-head-major, GQA group fused
+    q5 = q.reshape(b, tp, hkv, rep, dhp).transpose(0, 2, 3, 1, 4)
+    ks = k_scale[:, :, :window]
+    vs = v_scale[:, :, :window]
+
+    kern = functools.partial(
+        _kernel, block_q=block_q, block_s=block_s, sm_scale=sm_scale,
+        quantized=quantized,
+    )
+    grid = (b, hkv, tp // block_q, window // block_s)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, rep, block_q, dhp),
+                    lambda b, h, qi, si, *_: (b, h, 0, qi, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_s, dhp), lambda b, h, qi, si, *_: (b, h, si, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_s, dhp), lambda b, h, qi, si, *_: (b, h, si, 0)
+                ),
+                pl.BlockSpec((1, hkv, window), lambda b, h, qi, si, *_: (b, 0, 0)),
+                pl.BlockSpec((1, hkv, window), lambda b, h, qi, si, *_: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rep, block_q, dhp),
+                lambda b, h, qi, si, *_: (b, h, 0, qi, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rep * block_q, LANE), jnp.float32),
+                pltpu.VMEM((rep * block_q, LANE), jnp.float32),
+                pltpu.VMEM((rep * block_q, dhp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, tp, dhp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(t_offset, jnp.int32), q5, k_q, v_q, ks, vs)
+    # (B, Hkv, rep, Tp, Dh) → (B, T, H, Dh)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, tp, h, dhp)
+    return out[:, :t, :, :dh]

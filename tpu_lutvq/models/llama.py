@@ -228,12 +228,13 @@ def _attention(
     """Attention over a static prefix ``window`` of the INT8 cache.
 
     Decode (T=1) runs the fused flash-decode Pallas kernel (in-VMEM int8
-    dequant, no bf16 cache materialization); prefill and ``attn="xla"``
-    use the einsum reference path.  ``window`` bounds the cache prefix
-    actually read; bucketing happens at the jit level — a ``lax.switch``
-    over windows inside the layer scan measured 80 % slower end-to-end
-    (BENCH_NOTES.md round 1), so callers pick ``window`` per decode
-    segment instead (runtime.generate / bench.e2e).
+    dequant, no bf16 cache materialization); prefill with ``attn="flash"``
+    runs the tiled flash-prefill kernel (scores never leave VMEM);
+    ``attn="xla"`` uses the einsum reference path.  ``window`` bounds the
+    cache prefix actually read; bucketing happens at the jit level — a
+    ``lax.switch`` over windows inside the layer scan measured 80 % slower
+    end-to-end (BENCH_NOTES.md round 1), so callers pick ``window`` per
+    decode segment instead (runtime.generate / bench.e2e).
     """
     b, t, nh, dh = q.shape
     if window is None:
@@ -252,6 +253,20 @@ def _attention(
             interpret=interpret,
         )  # (B, H, Dh)
         return out.reshape(b, 1, nh * dh)
+    if attn == "flash":
+        from tpu_lutvq.kernels.flash_prefill import flash_prefill_attention
+
+        out = flash_prefill_attention(
+            q,
+            cache.k_q,
+            cache.v_q,
+            cache.k_scale,
+            cache.v_scale,
+            t_offset,
+            window=window,
+            interpret=interpret,
+        )  # (B, T, H, Dh)
+        return out.reshape(b, t, nh * dh)
     return _attention_window(cfg, q, cache, t_offset, window)
 
 

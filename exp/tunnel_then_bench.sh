@@ -1,15 +1,30 @@
 #!/bin/bash
-# Wait for the axon tunnel, then: bench.py first (gating), queued runs second.
+# Wait for the axon tunnel, then: bench.py first (gating), queued runs second,
+# round-3 e2e session third. Logs every stage so the wait itself is auditable.
 cd /root/repo
-for i in $(seq 1 240); do
+LOG=artifacts/tunnel_wait_r03.log
+echo "=== waiter started $(date +%H:%M:%S) pid $$ ===" >> "$LOG"
+up=0
+for i in $(seq 1 900); do
   if timeout 150 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((4,)).sum()))" 2>/dev/null | grep -q "4.0"; then
-    echo "tunnel up at $(date +%H:%M:%S) after $i probes"
+    echo "tunnel up at $(date +%H:%M:%S) after $i probes" | tee -a "$LOG"
+    up=1
     break
   fi
-  sleep 45
+  if [ $((i % 20)) -eq 0 ]; then echo "probe $i failed $(date +%H:%M:%S)" >> "$LOG"; fi
+  sleep 40
 done
-echo "=== bench.py attempt $(date +%H:%M:%S) ==="
-timeout 900 python bench.py 2>&1 | tail -20
-echo "=== queued runs $(date +%H:%M:%S) ==="
-timeout 7200 python exp/queued_tpu_runs.py 2>&1 | tail -40
-echo "=== done $(date +%H:%M:%S) ==="
+if [ "$up" -ne 1 ]; then
+  echo "tunnel never recovered within the wait budget ($(date +%H:%M:%S))" | tee -a "$LOG"
+  exit 1
+fi
+echo "=== bench.py attempt $(date +%H:%M:%S) ===" | tee -a "$LOG"
+timeout 900 python bench.py > artifacts/bench_r03_run.txt 2>&1
+tail -5 artifacts/bench_r03_run.txt | tee -a "$LOG"
+echo "=== queued runs $(date +%H:%M:%S) ===" | tee -a "$LOG"
+timeout 7200 python exp/queued_tpu_runs.py > artifacts/queued_r03_run.txt 2>&1
+tail -10 artifacts/queued_r03_run.txt | tee -a "$LOG"
+echo "=== e2e session $(date +%H:%M:%S) ===" | tee -a "$LOG"
+timeout 7200 python exp/round3_e2e_runs.py > artifacts/e2e_r03_run.txt 2>&1
+tail -10 artifacts/e2e_r03_run.txt | tee -a "$LOG"
+echo "=== done $(date +%H:%M:%S) ===" | tee -a "$LOG"

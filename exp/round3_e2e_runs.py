@@ -38,12 +38,13 @@ def main():
 
     from tpu_lutvq.bench import e2e
 
-    def block(model, batch, steps=64, strategy="auto", variant="auto"):
+    def block(model, batch, steps=64, strategy="auto", variant="auto",
+              attn="xla"):
         rows = e2e.run(model, batch, steps=steps, strategy=strategy,
-                       variant=variant)
+                       variant=variant, attn=attn)
         for r in rows:
             log(
-                f"e2e {model} B={batch} [{strategy}/{variant}]: "
+                f"e2e {model} B={batch} [{strategy}/{variant}/{attn}]: "
                 f"{r['ms_per_step']} ms/step {r['tokens_per_s']} tok/s "
                 + " ".join(f"{k}={v}" for k, v in r.items() if k.startswith("auto_"))
             )
@@ -61,17 +62,32 @@ def main():
                                         variant="i8"))
     run_block("7b-B16-i8", lambda: block("7b", 16, steps=32,
                                          strategy="dequant_mm", variant="i8"))
+    # 3b. flash-attention decode vs the xla rows above (same kernels
+    # otherwise: isolates the attention path at the serving tiers)
+    run_block("7b-B1-flash", lambda: block("7b", 1, attn="flash"))
+    run_block("7b-B8-flash", lambda: block("7b", 8, attn="flash"))
+    run_block("7b-B16-flash", lambda: block("7b", 16, steps=32, attn="flash"))
     # 4. 13B single-chip (config-4 geometry)
     run_block("13b-B1-auto", lambda: block("13b", 1, steps=32))
-    # 5. prefill tier, bf16 vs i8
-    def prefill(variant):
-        rows = e2e.run_prefill("7b", 1, 512, "auto", variant=variant)
+    run_block("13b-B1-flash", lambda: block("13b", 1, steps=32, attn="flash"))
+    # 5. prefill tier: variant lever (bf16 vs i8) × attention path
+    #    (xla einsum vs the round-3 flash-prefill kernel)
+    def prefill(variant, attn="xla", batch=1, seq=512):
+        rows = e2e.run_prefill("7b", batch, seq, "auto", variant=variant,
+                               attn=attn)
         for r in rows:
-            log(f"prefill 7b T=512 [{variant}]: {r['prefill_ms']} ms "
-                f"{r['prefill_tokens_per_s']} tok/s")
+            log(f"prefill 7b B={batch} T={seq} [{variant}/{attn}]: "
+                f"{r['prefill_ms']} ms {r['prefill_tokens_per_s']} tok/s")
 
     run_block("7b-prefill-auto", lambda: prefill("auto"))
     run_block("7b-prefill-i8", lambda: prefill("i8"))
+    run_block("7b-prefill-flash", lambda: prefill("auto", attn="flash"))
+    run_block("7b-prefill-i8-flash", lambda: prefill("i8", attn="flash"))
+    # long-prompt prefill where the score-materialization gap is largest
+    run_block("7b-prefill-B4-T1024-xla",
+              lambda: prefill("auto", attn="xla", batch=4, seq=1024))
+    run_block("7b-prefill-B4-T1024-flash",
+              lambda: prefill("auto", attn="flash", batch=4, seq=1024))
     log("=== session done ===")
 
 

@@ -120,10 +120,10 @@ def main():
         except Exception as e:
             log(f"batcher paged={paged} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
-    # 4. bench.py
-    r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
-                       text=True, timeout=900)
-    log("bench.py: " + (r.stdout.strip().splitlines() or ["<no output>"])[-1])
+    # NOTE: no bench.py step here.  This process holds the (exclusive) chip;
+    # a bench.py subprocess can't attach and its tunnel probe hangs until
+    # the budget expires (observed 2026-08-18: "probe never answered" while
+    # the parent was healthy).  Run bench.py before or after, never beside.
 
 
 if __name__ == "__main__":

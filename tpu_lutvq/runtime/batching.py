@@ -127,12 +127,18 @@ class ContinuousBatcher:
         self._prefill = prefill_fn or jax.jit(
             functools.partial(llama_forward, cfg, strategy=strategy, interpret=interpret)
         )
+        # default decode program takes a static ``window`` (attention length
+        # bucket): the step streams only the active cache prefix instead of
+        # the full max_seq slab / block table.  Injected (TP) programs keep
+        # their own signature — no window is passed to them.
         self._step = step_fn or jax.jit(
             functools.partial(
                 llama_decode_step, cfg, strategy=strategy, interpret=interpret,
                 attn=attn,
-            )
+            ),
+            static_argnames=("window",),
         )
+        self._windowed = step_fn is None
         self._sample = jax.jit(sample_logits_vec)
         # fused admission (default device programs only): B=1 prefill +
         # per-layer slot scatter + first-token sample in ONE dispatch.  The
@@ -206,10 +212,12 @@ class ContinuousBatcher:
                 attn=attn,
             )
 
-            def roll(weights, tokens, caches, pos, temps, key, horizon):
+            def roll(weights, tokens, caches, pos, temps, key, horizon,
+                     window=None):
                 def body(carry, _):
                     tok, caches, pos, key = carry
-                    logits, caches = raw_step(weights, tok, caches, pos)
+                    logits, caches = raw_step(weights, tok, caches, pos,
+                                              window=window)
                     key, sub = jax.random.split(key)
                     nxt = sample_logits_vec(logits, sub, temps)
                     return (nxt, caches, pos + 1, key), nxt
@@ -219,7 +227,7 @@ class ContinuousBatcher:
                 )
                 return toks, caches  # toks: (horizon, B)
 
-            self._roll = jax.jit(roll, static_argnames=("horizon",))
+            self._roll = jax.jit(roll, static_argnames=("horizon", "window"))
         self.completed: list[Request] = []
 
     # -- public API --
@@ -378,15 +386,29 @@ class ContinuousBatcher:
             int(self.slot_pos[i]) - 1 + horizon > _cap(i) for i in slots
         ):
             horizon = 1
+        # attention length bucket: the roll's LAST step reads cache rows
+        # 0..max(slot_pos)-1+horizon-1, so the window must cover
+        # max(slot_pos)-1+horizon rows.  Power-of-two buckets (bucket_window)
+        # keep the compiled-program set at ≤ log2(max_seq) per horizon while
+        # the flash/paged kernels stream only ``window`` rows instead of the
+        # full max_seq slab — the win grows with max_seq/mean-length.
+        window = None
+        if self._windowed:
+            from tpu_lutvq.runtime.generate import bucket_window
+
+            need = max(int(self.slot_pos[i]) for i in slots) - 1 + horizon
+            window = bucket_window(need, self.cfg.max_seq)
         if horizon > 1 and self._roll is not None:
             toks, self.caches = self._roll(
                 self.weights, jnp.asarray(tokens), self.caches, jnp.asarray(pos),
-                jnp.asarray(temps), sub, horizon=horizon,
+                jnp.asarray(temps), sub, horizon=horizon, window=window,
             )
             toks = np.asarray(jax.device_get(toks))  # (horizon, B) — one fetch
         else:
+            kw = {"window": window} if self._windowed else {}
             logits, self.caches = self._step(
-                self.weights, jnp.asarray(tokens), self.caches, jnp.asarray(pos)
+                self.weights, jnp.asarray(tokens), self.caches,
+                jnp.asarray(pos), **kw,
             )
             toks = np.asarray(
                 jax.device_get(self._sample(logits, sub, jnp.asarray(temps)))

@@ -1,0 +1,79 @@
+"""Flash-vs-XLA decode attention crossover: B x window sweep.
+
+round3_e2e.txt showed attn="flash" LOSING end-to-end at 7B with short
+windows (decode steps=32 -> bucket 256): 12.73 vs 9.62 ms/step at B=1.
+Hypothesis: per-layer Pallas launch + grid overhead dominates when the
+streamed KV bytes are small; the fused kernel should win once B*window
+is large (XLA path re-reads the int8 cache AND pays the softmax
+materialization).  This probe measures both paths at serving geometry
+(7B heads: Hkv=32, Dh=128) over B x window to locate the crossover for
+the attn="auto" policy.
+
+Run on TPU: python exp/probe_attn_crossover.py
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from tpu_lutvq.bench.harness import bench_time
+from tpu_lutvq.kernels.flash_decode import flash_decode_attention
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+
+HKV, DH = 32, 128
+S = 2048
+sm = 1.0 / DH**0.5
+
+
+def folded(q, c, w, pos):
+    """The serving XLA path (_attention_window, scale-folded int8)."""
+    kq = c.k_q[:, :, :w]
+    vq = c.v_q[:, :, :w]
+    ks = c.k_scale[:, :, :w]
+    vs = c.v_scale[:, :, :w]
+    qh = q[:, 0].astype(jnp.bfloat16)
+    scores = jnp.einsum(
+        "bhd,bhsd->bhs", qh, kq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * (ks * sm)
+    span = jnp.arange(w)[None, None, :]
+    scores = jnp.where(span <= pos[:, None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1) * vs
+    return jnp.einsum(
+        "bhs,bhsd->bhd", p.astype(jnp.bfloat16), vq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def main():
+    rng = jax.random.PRNGKey(0)
+    for B in (1, 8, 16):
+        cache = KVCache.init(B, S, HKV, DH)
+        k = jax.random.normal(rng, (B, S, HKV, DH), dtype=jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, HKV, DH))
+        cache = update_cache(cache, k, v, jnp.zeros((B,), jnp.int32))
+        q = jax.random.normal(jax.random.fold_in(rng, 2), (B, 1, HKV, DH))
+        for w in (256, 512, 1024, 2048):
+            pos = jnp.full((B,), w - 2, jnp.int32)
+            bs = min(256, w)
+            fl = jax.jit(
+                lambda q, c, w=w, bs=bs, pos=pos: flash_decode_attention(
+                    q[:, 0], c.k_q, c.v_q, c.k_scale, c.v_scale, pos,
+                    window=w, block_s=bs,
+                )
+            )
+            xl = jax.jit(lambda q, c, w=w, pos=pos: folded(q, c, w, pos))
+            tf = bench_time(fl, q, cache, n=64)
+            tx = bench_time(xl, q, cache, n=64)
+            kvb = 2 * B * w * HKV * (DH + 4)  # int8 K/V + f32 scales
+            print(
+                f"B={B:2d} W={w:4d}: flash {tf*1e6:7.1f}us "
+                f"({kvb/tf/1e9:5.0f} GB/s)  xla {tx*1e6:7.1f}us "
+                f"({kvb/tx/1e9:5.0f} GB/s)  flash/xla {tf/tx:.2f}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Minimal Pallas kernels isolating the flash-decode redesign's core loop.
+
+Design under test: one grid program per (batch, s-block) handling ALL KV
+heads via a single cross-terms matmul — scores_full = K_flat (Hkv*BS, Dh)
+@ qT (Dh, Hkv); the block-diagonal (h == column) entries are the real
+scores and the off-diagonal FLOPs are free if the MXU streams rows fast
+enough.  Variants measure where the ceiling is:
+
+  v0: DMA + convert + row-sum only (the streaming ceiling)
+  v1: + cross-terms dot
+  v2: + diag mask, exp, column reduction (the full QK half)
+
+Run on TPU: python exp/probe_attn_kernel.py
+"""
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+from tpu_lutvq.bench.harness import bench_time
+
+HKV, DH = 32, 128
+S = 16384  # 64 MB int8 cache slab -> HBM resident
+NEG_INF = -1e30
+
+
+def _kern(q_ref, k_ref, o_ref, *, bs, variant):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    kf = k_ref[...].reshape(HKV * bs, DH).astype(jnp.bfloat16)
+    if variant == 0:
+        o_ref[...] += jnp.sum(
+            kf.astype(jnp.float32).reshape(HKV, bs, DH), axis=1
+        )[:8, :]
+    else:
+        scores = jax.lax.dot_general(
+            kf, q_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HKV*bs, HKV)
+        if variant == 1:
+            o_ref[...] += jnp.sum(
+                scores.reshape(HKV, bs, HKV), axis=1
+            )[:8, :].repeat(4, axis=1)
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(rows // bs == cols, scores, NEG_INF)
+            m = jnp.max(scores, axis=0, keepdims=True)  # (1, HKV) col max
+            p = jnp.exp(scores - m)
+            l = jnp.sum(p, axis=0, keepdims=True)
+            o_ref[...] += (m + l).repeat(8, axis=0).repeat(4, axis=1)
+
+
+def run(bs, variant, n=128):
+    k8 = jax.random.randint(jax.random.PRNGKey(0), (HKV, S, DH), -5, 5,
+                            jnp.int8)
+    qT = jax.random.normal(jax.random.PRNGKey(1), (DH, HKV), jnp.bfloat16)
+    kern = functools.partial(_kern, bs=bs, variant=variant)
+    f = pl.pallas_call(
+        kern,
+        grid=(S // bs,),
+        in_specs=[
+            pl.BlockSpec((DH, HKV), lambda s: (0, 0)),
+            pl.BlockSpec((HKV, bs, DH), lambda s: (0, s, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, DH), lambda s: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, DH), jnp.float32),
+    )
+    g = jax.jit(lambda qT, k8: f(qT, k8))
+    t = bench_time(g, qT, k8, n=n)
+    gb = HKV * S * DH  # int8 K bytes
+    print(f"  v{variant} bs={bs:4d}: {t*1e6:8.1f}us  {gb/t/1e9:6.0f} GB/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    for variant in (0, 1, 2):
+        for bs in (256, 512):
+            run(bs, variant)

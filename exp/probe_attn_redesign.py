@@ -1,0 +1,122 @@
+"""Feasibility probes for the flash-decode redesign.
+
+E1: throughput of the cross-terms QK shape — ONE (Hkv*BS, Dh) @ (Dh, Hkv)
+    matmul (int8 K streamed, tiny N) — measured at the XLA level to learn
+    whether large-M matmuls with tiny N stream rows fast enough to be
+    DMA-bound (the whole redesign bet).
+E2: paged decode attention: window_view gather + folded XLA vs the
+    current paged flash kernel, at 1B-serving shapes.
+
+Run on TPU: python exp/probe_attn_redesign.py
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from tpu_lutvq.bench.harness import bench_time
+
+HKV, DH = 32, 128
+
+
+def e1():
+    print("--- E1: cross-terms QK matmul shape (M=Hkv*BS, K=128, N=Hkv)")
+    for bs in (256, 512, 1024, 2048):
+        m = HKV * bs
+        k8 = jax.random.randint(jax.random.PRNGKey(0), (m, DH), -127, 127,
+                                jnp.int8)
+        q = jax.random.normal(jax.random.PRNGKey(1), (DH, HKV), jnp.bfloat16)
+
+        def f(k8, q):
+            return jax.lax.dot_general(
+                k8.astype(jnp.bfloat16), q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        t = bench_time(jax.jit(f), k8, q, n=256)
+        gb = m * DH  # int8 stream
+        print(f"  M={m:6d}: {t*1e6:7.2f}us  {gb/t/1e9:6.0f} GB/s (K bytes)",
+              flush=True)
+    # and the PV side: contraction over the long axis, both operands streamed
+    print("--- E1b: PV shape — (Dh, M) . (M, Hkv) contraction over M")
+    for bs in (256, 1024):
+        m = HKV * bs
+        v8 = jax.random.randint(jax.random.PRNGKey(0), (m, DH), -127, 127,
+                                jnp.int8)
+        p = jax.random.normal(jax.random.PRNGKey(1), (m, HKV), jnp.bfloat16)
+
+        def g(v8, p):
+            return jax.lax.dot_general(
+                v8.astype(jnp.bfloat16), p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Dh, Hkv)
+
+        t = bench_time(jax.jit(g), v8, p, n=256)
+        gb = m * DH + m * HKV * 2  # int8 V + bf16 P
+        print(f"  M={m:6d}: {t*1e6:7.2f}us  {gb/t/1e9:6.0f} GB/s", flush=True)
+
+
+def e2():
+    print("--- E2: paged attention — window_view+XLA vs paged flash (1B-ish)")
+    from tpu_lutvq.kernels.flash_decode import flash_decode_paged
+    from tpu_lutvq.models.paged_cache import PagedKVCache
+
+    B, S, hkv, dh, bs = 8, 1024, 16, 128, 128
+    maxb = S // bs
+    nblocks = B * maxb + 1
+    pc = PagedKVCache.init(nblocks, B, maxb, hkv, dh, bs, dtype=jnp.int8)
+    # fill pool with noise + sequential tables
+    key = jax.random.PRNGKey(0)
+    pc = pc._replace(
+        k_pool=jax.random.randint(key, pc.k_pool.shape, -127, 127, jnp.int8),
+        v_pool=jax.random.randint(key, pc.v_pool.shape, -127, 127, jnp.int8),
+        k_scale=jnp.abs(jax.random.normal(key, pc.k_scale.shape)) + 0.01,
+        v_scale=jnp.abs(jax.random.normal(key, pc.v_scale.shape)) + 0.01,
+        block_tables=jnp.arange(1, B * maxb + 1, dtype=jnp.int32).reshape(
+            B, maxb
+        ),
+    )
+    q = jax.random.normal(jax.random.fold_in(key, 2), (B, hkv, dh))
+    sm = 1.0 / dh**0.5
+    for w in (256, 512, 1024):
+        pos = jnp.full((B,), w - 2, jnp.int32)
+
+        fl = jax.jit(
+            lambda q, pc, w=w, pos=pos: flash_decode_paged(
+                q, pc.k_pool, pc.v_pool, pc.k_scale, pc.v_scale,
+                pc.block_tables, pos, window=w,
+            )
+        )
+
+        def xla_view(q, pc, w=w, pos=pos):
+            view = pc.window_view(w)  # gather blocks -> slab KVCache
+            kq, vq = view.k_q, view.v_q
+            ks, vs = view.k_scale, view.v_scale
+            qh = q.astype(jnp.bfloat16)
+            scores = jnp.einsum(
+                "bhd,bhsd->bhs", qh, kq.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * (ks * sm)
+            span = jnp.arange(scores.shape[-1])[None, None, :]
+            scores = jnp.where(span <= pos[:, None, None], scores, -1e30)
+            p = jax.nn.softmax(scores, axis=-1) * vs
+            return jnp.einsum(
+                "bhs,bhsd->bhd", p.astype(jnp.bfloat16),
+                vq.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+            )
+
+        xv = jax.jit(xla_view)
+        tf = bench_time(fl, q, pc, n=64)
+        tx = bench_time(xv, q, pc, n=64)
+        kvb = 2 * B * w * hkv * (dh + 4)
+        print(
+            f"  W={w:4d}: paged-flash {tf*1e6:7.1f}us ({kvb/tf/1e9:4.0f} GB/s)"
+            f"  view+xla {tx*1e6:7.1f}us ({kvb/tx/1e9:4.0f} GB/s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    e1()
+    e2()

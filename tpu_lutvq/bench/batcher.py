@@ -33,6 +33,7 @@ def run(
     strategy: str = "auto",
     interpret: bool | None = None,
     paged_blocks: int | None = None,
+    attn: str = "xla",
 ) -> list[dict]:
     cfg = LlamaConfig(**MODELS[model])
 
@@ -43,13 +44,13 @@ def run(
     weights = build(jax.random.PRNGKey(0))
     rows = []
     for horizon in horizons:
-        paged_kw = (
-            dict(paged_blocks=paged_blocks, attn="flash")
-            if paged_blocks else {}
-        )
+        # attn="xla" routes paged attention through window_view + the folded
+        # einsum path — measured 4.5x faster than the paged flash kernel at
+        # pool scale (exp/probe_attn_redesign.py E2, W=1024: 109 vs 496 us)
+        paged_kw = dict(paged_blocks=paged_blocks) if paged_blocks else {}
         batcher = ContinuousBatcher(
             cfg, weights, n_slots=slots, strategy=strategy,
-            interpret=interpret, **paged_kw,
+            interpret=interpret, attn=attn, **paged_kw,
         )
 
         def submit_all(b):
@@ -83,6 +84,7 @@ def run(
         rows.append(
             {
                 "Model": model,
+                "Attn": attn,
                 "Paged": bool(paged_blocks),
                 "Slots": slots,
                 "Horizon": horizon,
@@ -113,6 +115,7 @@ def main() -> None:
     ap.add_argument("--csv", default=None)
     ap.add_argument("--paged", type=int, default=None,
                     help="paged KV pool size in blocks (128 tokens each)")
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
     args = ap.parse_args()
     rows = run(
         model=args.model,
@@ -123,6 +126,7 @@ def main() -> None:
         strategy=args.strategy,
         interpret=args.interpret or None,
         paged_blocks=args.paged,
+        attn=args.attn,
     )
     if args.csv:
         write_csv(args.csv, rows)

@@ -6,9 +6,10 @@ heads via a single cross-terms matmul — scores_full = K_flat (Hkv*BS, Dh)
 scores and the off-diagonal FLOPs are free if the MXU streams rows fast
 enough.  Variants measure where the ceiling is:
 
-  v0: DMA + convert + row-sum only (the streaming ceiling)
-  v1: + cross-terms dot
-  v2: + diag mask, exp, column reduction (the full QK half)
+  v0: DMA + convert + scalar-sum only (the streaming ceiling)
+  v1: + cross-terms QK dot
+  v2: + diag mask, exp, column reductions (the full QK half)
+  v3: + PV dot contracting the row axis (full hot loop, K AND V streamed)
 
 Run on TPU: python exp/probe_attn_kernel.py
 """
@@ -24,11 +25,11 @@ sys.path.insert(0, ".")
 from tpu_lutvq.bench.harness import bench_time
 
 HKV, DH = 32, 128
-S = 16384  # 64 MB int8 cache slab -> HBM resident
+S = 16384  # 64 MB int8 K (+64 MB V) -> HBM resident
 NEG_INF = -1e30
 
 
-def _kern(q_ref, k_ref, o_ref, *, bs, variant):
+def _kern(q_ref, k_ref, v_ref, o_ref, *, bs, variant):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -37,31 +38,43 @@ def _kern(q_ref, k_ref, o_ref, *, bs, variant):
 
     kf = k_ref[...].reshape(HKV * bs, DH).astype(jnp.bfloat16)
     if variant == 0:
-        o_ref[...] += jnp.sum(
-            kf.astype(jnp.float32).reshape(HKV, bs, DH), axis=1
-        )[:8, :]
-    else:
-        scores = jax.lax.dot_general(
-            kf, q_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (HKV*bs, HKV)
-        if variant == 1:
-            o_ref[...] += jnp.sum(
-                scores.reshape(HKV, bs, HKV), axis=1
-            )[:8, :].repeat(4, axis=1)
-        else:
-            rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(rows // bs == cols, scores, NEG_INF)
-            m = jnp.max(scores, axis=0, keepdims=True)  # (1, HKV) col max
-            p = jnp.exp(scores - m)
-            l = jnp.sum(p, axis=0, keepdims=True)
-            o_ref[...] += (m + l).repeat(8, axis=0).repeat(4, axis=1)
+        o_ref[...] += jnp.sum(kf.astype(jnp.float32))  # scalar, all live
+        if v_ref is not None:
+            pass
+        return
+    scores = jax.lax.dot_general(
+        kf, q_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HKV*bs, HKV)
+    if variant == 1:
+        o_ref[...] += jnp.sum(scores)
+        return
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(rows // bs == cols, scores, NEG_INF)
+    m = jnp.max(scores, axis=0, keepdims=True)  # (1, HKV) col max
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    if variant == 2:
+        o_ref[...] += jnp.sum(m) + jnp.sum(l)
+        return
+    vf = v_ref[...].reshape(HKV * bs, DH).astype(jnp.bfloat16)
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), vf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HKV, DH) — output orientation directly
+    o_ref[...] += pv[:8, :] + jnp.sum(m) + jnp.sum(l)
 
 
 def run(bs, variant, n=128):
     k8 = jax.random.randint(jax.random.PRNGKey(0), (HKV, S, DH), -5, 5,
                             jnp.int8)
+    # variants < 3 never read V: hand them a tiny slab with a constant
+    # block index so no V DMA pollutes the measurement
+    vS = S if variant == 3 else bs
+    v8 = jax.random.randint(jax.random.PRNGKey(3), (HKV, vS, DH), -5, 5,
+                            jnp.int8)
+    v_map = (lambda s: (0, s, 0)) if variant == 3 else (lambda s: (0, 0, 0))
     qT = jax.random.normal(jax.random.PRNGKey(1), (DH, HKV), jnp.bfloat16)
     kern = functools.partial(_kern, bs=bs, variant=variant)
     f = pl.pallas_call(
@@ -70,18 +83,19 @@ def run(bs, variant, n=128):
         in_specs=[
             pl.BlockSpec((DH, HKV), lambda s: (0, 0)),
             pl.BlockSpec((HKV, bs, DH), lambda s: (0, s, 0)),
+            pl.BlockSpec((HKV, bs, DH), v_map),
         ],
         out_specs=pl.BlockSpec((8, DH), lambda s: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((8, DH), jnp.float32),
     )
-    g = jax.jit(lambda qT, k8: f(qT, k8))
-    t = bench_time(g, qT, k8, n=n)
-    gb = HKV * S * DH  # int8 K bytes
+    g = jax.jit(lambda qT, k8, v8: f(qT, k8, v8))
+    t = bench_time(g, qT, k8, v8, n=n)
+    gb = HKV * S * DH * (2 if variant == 3 else 1)  # streamed int8 bytes
     print(f"  v{variant} bs={bs:4d}: {t*1e6:8.1f}us  {gb/t/1e9:6.0f} GB/s",
           flush=True)
 
 
 if __name__ == "__main__":
-    for variant in (0, 1, 2):
+    for variant in (0, 1, 2, 3):
         for bs in (256, 512):
             run(bs, variant)

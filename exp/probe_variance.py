@@ -1,0 +1,103 @@
+"""Diagnose the round-3 cross-session dense/LUT anti-correlation.
+
+VERDICT r3 weak #2: across the three r3 sessions, dense bf16 GEMV got
+FASTER (55.86 -> 49.91 -> 47.58 us) while the pair LUT kernel got SLOWER
+(19.41 -> 22.85 -> 25.27 us).  A VPU-issue-bound kernel and a DMA-bound
+baseline responding oppositely to chip state points at clock/DVFS or
+compile-layout state.  This probe:
+
+  1. measures both ops COLD (fresh process, no warm-up),
+  2. then interleaves pair/dense slope measurements over ~10 minutes,
+     with a sustained-load warm-up burst injected at the midpoint,
+  3. prints a per-round table + summary correlation so the cause is
+     visible: if warm-up moves the pair kernel but not dense, it is
+     clock state and bench.py's warm-up phase fixes it; if the numbers
+     are stable within a process but differ across processes, it is
+     compile layout and we pin it.
+
+Run on TPU: python exp/probe_variance.py [minutes]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from tpu_lutvq.bench.harness import bench_time
+from tpu_lutvq.core.config import aqlm_2x8
+from tpu_lutvq.core.params import init_vq_params
+from tpu_lutvq.kernels import lut_gemv, pack_params
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+MINUTES = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+
+d = 4096
+cfg = aqlm_2x8(d, group=8, shared_codebook=True)
+params = init_vq_params(jax.random.PRNGKey(0), cfg, d, dtype=jnp.float32,
+                        with_scales=True)
+packed = pack_params(cfg, params)
+x = jax.random.normal(jax.random.PRNGKey(1), (1, d), dtype=jnp.float32)
+w = jax.random.normal(jax.random.PRNGKey(2), (d, d), jnp.bfloat16)
+
+f_pair = lambda x: lut_gemv(cfg, packed, x)
+f_dense = lambda x: (x.astype(jnp.bfloat16) @ w.T).astype(jnp.float32)
+
+# --- phase 1: cold measurement (first thing the process does on device) ---
+t0 = time.time()
+cold_pair = bench_time(f_pair, x, n=2048, repeats=3) * 1e6
+cold_dense = bench_time(f_dense, x, n=512, repeats=2) * 1e6
+print(f"[{time.time()-t0:6.1f}s] COLD   pair={cold_pair:7.2f}us  "
+      f"dense={cold_dense:7.2f}us", flush=True)
+
+# --- phase 2: interleaved rounds, warm-up burst at the midpoint ---
+warm = jax.jit(f_pair)
+rows = []
+deadline = t0 + MINUTES * 60
+i = 0
+warmed = False
+while time.time() < deadline:
+    i += 1
+    if not warmed and time.time() - t0 > MINUTES * 30:  # midpoint
+        wt0 = time.time()
+        while time.time() - wt0 < 3.0:
+            for _ in range(16):
+                r = warm(x)
+            float(r.sum())
+        warmed = True
+        print(f"[{time.time()-t0:6.1f}s] --- warm-up burst (3 s sustained) ---",
+              flush=True)
+    p = bench_time(f_pair, x, n=2048, repeats=3) * 1e6
+    dn = bench_time(f_dense, x, n=512, repeats=2) * 1e6
+    rows.append((time.time() - t0, warmed, p, dn))
+    print(f"[{rows[-1][0]:6.1f}s] round {i:2d} warmed={warmed!s:5}  "
+          f"pair={p:7.2f}us  dense={dn:7.2f}us", flush=True)
+    time.sleep(5)
+
+pre = [(p, dn) for (_, wm, p, dn) in rows if not wm]
+post = [(p, dn) for (_, wm, p, dn) in rows if wm]
+
+
+def stats(v):
+    import statistics
+    return (min(v), statistics.median(v), max(v))
+
+
+for name, grp in [("pre-warm ", pre), ("post-warm", post)]:
+    if grp:
+        pmin, pmed, pmax = stats([p for p, _ in grp])
+        dmin, dmed, dmax = stats([dn for _, dn in grp])
+        print(f"{name}: pair min/med/max = {pmin:.2f}/{pmed:.2f}/{pmax:.2f}  "
+              f"dense = {dmin:.2f}/{dmed:.2f}/{dmax:.2f}  (n={len(grp)})")
+
+if pre and post:
+    import statistics
+    dp = statistics.median([p for p, _ in post]) - statistics.median(
+        [p for p, _ in pre])
+    dd = statistics.median([dn for _, dn in post]) - statistics.median(
+        [dn for _, dn in pre])
+    print(f"warm-up effect: pair {dp:+.2f}us, dense {dd:+.2f}us")
+print(f"cold-vs-final: pair {cold_pair:.2f} -> "
+      f"{rows[-1][2]:.2f}us, dense {cold_dense:.2f} -> {rows[-1][3]:.2f}us")

@@ -90,6 +90,41 @@ def test_pq_search_int8_tables_close_to_f32(pq_setup):
     assert overlap >= 0.8, overlap
 
 
+def test_pq_search_int16_recovers_where_int8_saturates():
+    """The int16 table tier earns its place (VecProductQuantizer.h:2369-2730
+    epi16 variants): when one sub-quantizer's table range dwarfs the others,
+    int8's single per-query scale rounds the discriminative tables to zero.
+    Construction: the first subvector is a large constant offset for every
+    db point (contributes a huge but non-discriminative table; queries sit
+    far from it), the remaining subvectors carry all the signal.  int8 must
+    visibly lose top-5 overlap vs f32; int16 must recover it."""
+    key = jax.random.PRNGKey(9)
+    d, m = 32, 4
+    x, _, _ = clustered_data(key, n=600, d=d, centers=32)
+    x = x.at[:, : d // m].set(100.0)  # block 0: constant, non-discriminative
+    pq = ProductQuantizer(d=d, m=m, k=16).train(jax.random.PRNGKey(10), x, iters=20)
+    db, queries = x[:512], x[512:516]
+    queries = queries.at[:, : d // m].set(0.0)  # far from block 0 ⇒ huge table
+    codes = pq.encode(db)
+
+    def overlap(dt):
+        vf, i_f = pq.search(queries, codes, topk=5, table_dtype="f32",
+                            interpret=True)
+        vq, i_q = pq.search(queries, codes, topk=5, table_dtype=dt,
+                            interpret=True)
+        return np.mean([
+            len(set(np.asarray(i_f[q]).tolist())
+                & set(np.asarray(i_q[q]).tolist())) / 5
+            for q in range(4)
+        ])
+
+    o8, o16 = overlap("int8"), overlap("int16")
+    # int8's scale is ~(100² / 127) ≈ 79 — the signal tables (range ~10)
+    # all quantize to zero and the ranking is arbitrary
+    assert o8 < 0.8, f"int8 unexpectedly survived saturation: {o8}"
+    assert o16 >= 0.9, f"int16 failed to recover recall: {o16} (int8: {o8})"
+
+
 def test_pq_search_refined_matches_full(pq_setup):
     """Partial-scan shortlist + exact refine: with a generous shortlist the
     refined search returns the same top-k as the full scan (L2 partial sums

@@ -34,6 +34,7 @@ KERNEL_CFGS = [
         ("pairf", 2e-2),    # pair with the word packing done in-kernel
         ("bpair", 2e-2),    # bf16 token-pair words, one gather per 2 tokens
         ("i8", 5e-2),       # int8 entries + exact int32 MXU accumulate
+        ("i16", 2e-3),      # int16 entries + exact int32 MXU accumulate
         ("auto", 2e-2),
     ],
 )

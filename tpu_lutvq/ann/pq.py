@@ -111,7 +111,11 @@ class ProductQuantizer:
         kernel, FOUR entries ride each 32-bit gather word, and scores
         accumulate exactly in int32 on the int8 MXU before one rescale —
         the QuantizerMAX design point (VecProductQuantizer.h:182-298)
-        executed natively, not simulated.
+        executed natively, not simulated.  table_dtype="int16" is the
+        middle tier (the reference's epi16 QuantizerMAX variants,
+        VecProductQuantizer.h:2369-2730): 15-bit tables, two entries per
+        gather word — use when int8's shared per-query scale saturates
+        (many sub-quantizers with wildly different table ranges).
 
         ``refine_groups=m0`` enables EXACT bound-based work skipping, TPU-
         style (the reference's lossless heap-bound prune,
@@ -126,7 +130,7 @@ class ProductQuantizer:
         """
         n = codes.shape[0]
         tables = self.l2_tables(queries) if metric == "l2" else self.ip_tables(queries)
-        variant = "i8" if table_dtype == "int8" else "auto"
+        variant = {"int8": "i8", "int16": "i16"}.get(table_dtype, "auto")
         if refine_groups is not None and metric != "l2":
             # IP partial sums are not monotone bounds (terms can be negative):
             # a shortlist built on them can drop true top-k arbitrarily.  The

@@ -178,9 +178,15 @@ def flash_decode_attention(
     rep = h // hkv
     assert h == hkv * rep
     # VMEM budget: the flattened K/V blocks are (Hkv*BS, Dh) bf16 each —
-    # cap Hkv*BS at 8K rows (~2 MB bf16 per operand at Dh=128)
-    block_s = min(block_s, s_max, max(8192 // hkv, 128))
-    window = min(_round_up(window, block_s), s_max)
+    # cap Hkv*BS at 8K rows (~2 MB bf16 per operand at Dh=128).  The floor
+    # is the int8 sublane quantum (32), so the cap actually holds up to
+    # hkv=256 (ADVICE r3: the old 128 floor doubled the budget at hkv=128).
+    block_s = min(block_s, s_max, max(8192 // hkv, 32))
+    # Floor the clamped window to whole blocks BEFORE the truncation check:
+    # nblk = window // block_s floors, so rows past nblk*block_s would never
+    # be streamed while a naive check against the un-floored window let a
+    # pos in that tail pass silently (ADVICE r3).
+    window = (min(_round_up(window, block_s), s_max) // block_s) * block_s
     # blocks past `window` are never streamed: a too-small window silently
     # truncates attention.  pos is usually traced (nothing checkable), but
     # callers passing a concrete pos (tests, eager decode) get the contract

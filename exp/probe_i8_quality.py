@@ -1,0 +1,85 @@
+"""W8A8 i8 quad-table quality at 7B geometry (VERDICT r3 weak #5).
+
+The i8 dequant_mm path is the biggest measured batch-serving lever (7B
+B=16: 320 vs 217 tok/s) but its quality delta was pinned only on a tiny
+2-layer model.  This probe measures it at full 7B geometry on synthetic
+AQLM weights (the quality question is about TABLE precision — bf16-entry
+pairs vs int8 entries + per-word scales — which depends on codebook/scale
+statistics the 7B-shape synthetic init reproduces, not on trained values):
+
+- teacher-forced logits for (B, T) token sequences under
+  quality="exact" (bf16x2 tables) and quality="fast" (i8 tables),
+  strategy=dequant_mm, against the f32-table oracle at the same weights;
+- per-position KL(oracle || path) in nats, plus top-1 agreement and the
+  synthetic-corpus ppl ratio — the serving-level "is the trade within
+  budget" numbers for the quality knob.
+
+Run on TPU: python exp/probe_i8_quality.py  (tee to
+artifacts/i8_quality_r04.txt)
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from tpu_lutvq.models.llama import LlamaConfig, init_caches, init_llama, llama_forward
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+B, T = 4, 256
+
+
+def main():
+    enable_persistent_cache()
+    cfg = LlamaConfig.llama2_7b(max_seq=T)
+    t0 = time.time()
+    weights = jax.jit(lambda k: init_llama(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0)
+    )
+    jax.tree.leaves(weights)[0].block_until_ready()
+    print(f"init 7B: {time.time() - t0:.1f}s", flush=True)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, cfg.vocab_size)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def logits_for(weights, tokens, variant):
+        lg, _ = llama_forward(
+            cfg, weights, tokens, init_caches(cfg, B), jnp.int32(0),
+            strategy="dequant_mm", variant=variant,
+        )
+        return jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+
+    out = {}
+    for name in ("f32", "bf16x2", "i8"):
+        # variant routes table precision under dequant_mm
+        # (QuantizedLinear.apply); "bf16x2" is spelled variant="auto"
+        variant = "auto" if name == "bf16x2" else name
+        t0 = time.time()
+        lp = logits_for(weights, tokens, variant)
+        lp.block_until_ready()
+        out[name] = lp
+        print(f"{name}: forward {time.time() - t0:.1f}s", flush=True)
+
+    ref = out["f32"]
+    ref_ll = jnp.take_along_axis(ref[:, :-1], tokens[:, 1:, None], -1)[..., 0]
+    for name in ("bf16x2", "i8"):
+        lp = out[name]
+        kl = jnp.sum(jnp.exp(ref) * (ref - lp), axis=-1)  # (B, T)
+        top1 = jnp.mean(
+            (jnp.argmax(ref, -1) == jnp.argmax(lp, -1)).astype(jnp.float32)
+        )
+        ll = jnp.take_along_axis(lp[:, :-1], tokens[:, 1:, None], -1)[..., 0]
+        ppl_ratio = jnp.exp(-(ll.mean() - ref_ll.mean()))
+        print(
+            f"{name:7s} vs f32 oracle: KL mean={float(kl.mean()):.3e} "
+            f"p95={float(jnp.percentile(kl, 95)):.3e} nats  "
+            f"top1 agree={float(top1) * 100:.2f}%  "
+            f"ppl ratio={float(ppl_ratio):.5f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Round-4 long-context decode rows (VERDICT r3 item 3).
+
+S=4096 / S=8192 decode at 7B geometry, window bucketing on, flash and XLA
+attention both measured — the regime where INT8-KV + the redesigned flash
+kernel + bucketing should separate from the einsum path (KV streaming
+dominates step time once S*B is large).
+
+Memory budget on one v5e (16 GB): int8 KV at 7B is
+32 layers x 2 x B x S x 32 x 128 bytes = 0.27 GB x B x (S/1024);
+B=8/S=8192 (17 GB) does not fit — the grid stops at B x S <= 32K tokens.
+
+Run on TPU: python exp/round4_longctx.py  (tee to
+artifacts/longctx_r04.txt)
+"""
+import sys
+
+sys.path.insert(0, ".")
+from tpu_lutvq.bench.e2e import run
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+GRID = [
+    # (batch, ctx, attn)
+    (1, 4096, "xla"),
+    (1, 4096, "flash"),
+    (1, 8192, "xla"),
+    (1, 8192, "flash"),
+    (4, 8192, "xla"),
+    (4, 8192, "flash"),
+    (8, 4096, "xla"),
+    (8, 4096, "flash"),
+    (8, 4096, "auto"),  # must match the best hand pick within ~3%
+]
+
+
+def main():
+    enable_persistent_cache()
+    for batch, ctx, attn in GRID:
+        try:
+            run(model="7b", batch=batch, steps=32, attn=attn, ctx=ctx)
+        except Exception as e:  # keep the sweep going; record the failure
+            print(f"7b B={batch} ctx={ctx} attn={attn}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

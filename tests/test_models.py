@@ -185,3 +185,49 @@ def test_windowed_attention_matches_full():
     out_full = _attention_window(cfg, q, cache, pos, 1024)
     np.testing.assert_allclose(np.asarray(out_win), np.asarray(out_full),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_attn_policy_resolution():
+    """attn="auto" resolves from the measured B x window crossover
+    (artifacts/attn_crossover_r04.txt) and is idempotent on concrete values."""
+    from tpu_lutvq.models.attn_policy import resolve_attn
+
+    # concrete values pass through untouched
+    assert resolve_attn("flash", batch=1, window=256) == "flash"
+    assert resolve_attn("xla", batch=16, window=8192) == "xla"
+    # prefill always resolves to xla (flash-prefill never won end-to-end)
+    assert resolve_attn("auto", batch=16, window=8192, t=512) == "xla"
+    # decode: the redesigned all-heads kernel wins every measured point
+    # down to B*window = 1024 slab / 512 paged — including B=1
+    assert resolve_attn("auto", batch=1, window=8192) == "flash"
+    assert resolve_attn("auto", batch=1, window=1024) == "flash"
+    assert resolve_attn("auto", batch=8, window=512) == "flash"
+    assert resolve_attn("auto", batch=16, window=256) == "flash"
+    # below the smallest measured win both paths are ~us-fast: xla default
+    # (this also keeps tiny CPU-test models off interpret-mode kernels)
+    assert resolve_attn("auto", batch=1, window=512) == "xla"
+    # paged pool: window_view's gather makes flash win earlier
+    assert resolve_attn("auto", batch=2, window=256, paged=True) == "flash"
+    assert resolve_attn("auto", batch=1, window=256, paged=True) == "xla"
+
+
+def test_quality_budget_routes_tables(tiny_model):
+    """quality="fast" + strategy=dequant_mm serves the W8A8 i8 tables; the
+    logits stay close to the exact path (delta measured at 7B geometry in
+    artifacts/i8_quality_r04.txt)."""
+    cfg, weights = tiny_model
+    tokens = jnp.zeros((8, 4), jnp.int32)
+
+    def logits(quality):
+        lg, _ = llama_forward(
+            cfg, weights, tokens, init_caches(cfg, 8), jnp.int32(0),
+            strategy="dequant_mm", quality=quality, interpret=True,
+        )
+        return lg
+
+    exact = logits("exact")
+    fast = logits("fast")
+    assert not jnp.allclose(exact, fast)  # i8 tables actually selected
+    # i8 quantizes TABLE entries (int8 + per-word scales): close, not equal
+    err = float(jnp.abs(exact - fast).max() / (jnp.abs(exact).max() + 1e-9))
+    assert err < 0.05, err

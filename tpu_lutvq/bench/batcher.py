@@ -33,7 +33,8 @@ def run(
     strategy: str = "auto",
     interpret: bool | None = None,
     paged_blocks: int | None = None,
-    attn: str = "xla",
+    attn: str = "auto",
+    quality: str = "exact",
 ) -> list[dict]:
     cfg = LlamaConfig(**MODELS[model])
 
@@ -44,12 +45,12 @@ def run(
     weights = build(jax.random.PRNGKey(0))
     rows = []
     for horizon in horizons:
-        # attn="xla" routes paged attention through window_view + the folded
-        # einsum path — measured 4.5x faster than the paged flash kernel at
-        # pool scale (exp/probe_attn_redesign.py E2, W=1024: 109 vs 496 us)
+        # attn="auto" resolves flash vs the window_view+einsum path per
+        # (batch, window bucket) from the measured all-heads-kernel
+        # crossover (models/attn_policy.py)
         paged_kw = dict(paged_blocks=paged_blocks) if paged_blocks else {}
         batcher = ContinuousBatcher(
-            cfg, weights, n_slots=slots, strategy=strategy,
+            cfg, weights, n_slots=slots, strategy=strategy, quality=quality,
             interpret=interpret, attn=attn, **paged_kw,
         )
 
@@ -115,7 +116,9 @@ def main() -> None:
     ap.add_argument("--csv", default=None)
     ap.add_argument("--paged", type=int, default=None,
                     help="paged KV pool size in blocks (128 tokens each)")
-    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"])
+    ap.add_argument("--quality", default="exact", choices=["exact", "fast"],
+                    help="'fast' lets auto serve the W8A8 i8 weight path")
     args = ap.parse_args()
     rows = run(
         model=args.model,
@@ -127,6 +130,7 @@ def main() -> None:
         interpret=args.interpret or None,
         paged_blocks=args.paged,
         attn=args.attn,
+        quality=args.quality,
     )
     if args.csv:
         write_csv(args.csv, rows)

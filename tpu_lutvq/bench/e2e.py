@@ -66,7 +66,7 @@ def auto_choices(cfg: LlamaConfig, batch: int) -> dict:
 
 def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
                 strategy: str = "auto", interpret: bool | None = None,
-                variant: str = "auto", attn: str = "xla") -> list[dict]:
+                variant: str = "auto", attn: str = "auto") -> list[dict]:
     """Prefill tier: tokens/s processing a (batch, seq) prompt."""
     from tpu_lutvq.models.llama import (
         init_stacked_caches,
@@ -117,7 +117,8 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
 def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         strategy: str = "auto", interpret: bool | None = None,
         scan_layers: bool = False, variant: str = "auto",
-        attn: str = "xla") -> list[dict]:
+        attn: str = "auto", ctx: int = 0,
+        quality: str = "exact") -> list[dict]:
     """scan_layers=False (default): python-loop layer execution — each
     layer's weights are persistent buffers passed straight to the kernels.
     lax.scan over stacked weights must materialize a per-layer weight-slice
@@ -126,7 +127,14 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
     fast-compile option (one layer body vs L inlined copies)."""
     from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
 
-    cfg = LlamaConfig(**MODELS[model])
+    model_kw = dict(MODELS[model])
+    if ctx:
+        # long-context leg (VERDICT r3 item 3): decode near position `ctx`
+        # with the cache sized to match, so attention streams a ctx-deep
+        # window — where INT8-KV + flash + bucketing separate from the
+        # einsum.  Cache contents are zeros (cost is geometry, not values).
+        model_kw["max_seq"] = ctx
+    cfg = LlamaConfig(**model_kw)
     # one-dispatch init: hundreds of per-layer RNG/pack ops would each pay
     # the dispatch round-trip otherwise
     t0 = time.perf_counter()
@@ -160,6 +168,7 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
             logits, caches = llama_decode_step(
                 cfg, weights, tokens, caches, pos0 + i, strategy=strategy,
                 interpret=interpret, window=window, variant=variant, attn=attn,
+                quality=quality,
             )
             return (jnp.argmax(logits, axis=-1).astype(jnp.int32), caches), None
 
@@ -170,16 +179,20 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
 
     from tpu_lutvq.runtime.generate import bucket_window
 
-    win = bucket_window(2 * steps + 1, cfg.max_seq)
+    # long-context mode decodes the LAST `steps` positions of a ctx-deep
+    # cache (window = the full context); default mode decodes from the
+    # front with a tight bucket.
+    base = cfg.max_seq - 2 * steps - 1 if ctx else 0
+    win = bucket_window(base + 2 * steps + 1, cfg.max_seq)
     # warmup + sync (scalar fetch — block_until_ready unreliable via tunnel)
     tokens, caches = decode_n(
-        weights, tokens, caches, jnp.zeros((batch,), jnp.int32), n_steps=steps,
-        window=win,
+        weights, tokens, caches, jnp.full((batch,), base, jnp.int32),
+        n_steps=steps, window=win,
     )
     int(tokens[0])
     t0 = time.perf_counter()
     tokens, caches = decode_n(
-        weights, tokens, caches, jnp.full((batch,), steps, jnp.int32),
+        weights, tokens, caches, jnp.full((batch,), base + steps, jnp.int32),
         n_steps=steps, window=win,
     )
     int(tokens[0])
@@ -194,6 +207,8 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         "strategy": strategy,
         "variant": variant,
         "attn": attn,
+        "quality": quality,
+        "ctx": ctx or cfg.max_seq,
         "ms_per_step": round(dt * 1e3, 2),
         "tokens_per_s": round(toks_per_s, 1),
         "approx_param_elems": n_params,
@@ -214,13 +229,19 @@ if __name__ == "__main__":
     ap.add_argument("--strategy", default="auto")
     ap.add_argument("--variant", default="auto",
                     help="lookup-kernel variant (auto|f32|pair|bpair|i8)")
-    ap.add_argument("--attn", default="xla", choices=["xla", "flash"],
+    ap.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"],
                     help="attention path (flash = fused Pallas kernels)")
     ap.add_argument("--scan", action="store_true",
                     help="lax.scan layer execution (fast compile, slower steps)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--prefill", type=int, default=0, help="prefill bench with this seq len")
+    ap.add_argument("--ctx", type=int, default=0,
+                    help="long-context decode: cache depth (decode the last "
+                         "`steps` positions of a ctx-deep cache)")
+    ap.add_argument("--quality", default="exact", choices=["exact", "fast"],
+                    help="serving precision budget: 'fast' lets auto pick "
+                         "the W8A8 i8 quad-table path at batch scale")
     args = ap.parse_args()
     if args.prefill:
         rows = run_prefill(args.model, args.batch, args.prefill, args.strategy,
@@ -229,7 +250,8 @@ if __name__ == "__main__":
     else:
         rows = run(args.model, args.batch, args.steps, args.strategy,
                    args.interpret or None, scan_layers=args.scan,
-                   variant=args.variant, attn=args.attn)
+                   variant=args.variant, attn=args.attn, ctx=args.ctx,
+                   quality=args.quality)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

@@ -1,0 +1,68 @@
+"""attn="auto": pick the decode-attention path from the measured crossover.
+
+``strategy`` and ``variant`` already resolve "auto" (traffic-model rooflines
+/ resolve_variant); attention was the last manual knob, left with a default
+tuned against the PRE-redesign flash kernel (VERDICT r3 weak #4).  This
+module encodes the crossover measured on hardware against the redesigned
+all-heads kernel: exp/probe_attn_crossover_r04.py, tables committed in
+artifacts/attn_crossover_r04.txt (coarse grid, n=64) and
+artifacts/attn_crossover_r04_fine.txt (small-window re-measure, n=1024 —
+the n=64 small-window rows carry 0.0-µs slope artifacts; trust the fine
+table where they disagree).
+
+Measured shape of the decision (7B geometry, Hkv=32, Dh=128, int8 KV):
+
+- Prefill (T > 1): XLA wins or ties everywhere measured (flash-prefill's
+  +2% at T=512 B=1 does not survive B=4/T=1024, round3_e2e.txt) — auto
+  resolves to "xla"; the tiled kernel remains the explicit long-context
+  fallback (its VMEM-resident scores matter where the XLA path's transient
+  blows memory, not time).
+- Decode (T == 1), slab cache: the redesigned flash kernel wins EVERY
+  measured point down to B*window = 1024 — including B=1 (W=1024:
+  16.9 vs 26.9 µs; W=8192: 101 vs 184 µs), which the old 145 GB/s kernel
+  lost.  It sustains 510–780 GB/s vs the einsum path's 320–450 (the XLA
+  path re-reads scores/probs through HBM and burns a (B, H, 1, S)
+  softmax).  Below B*window ≈ 1K both paths are ≤ ~15 µs and the slope
+  protocol can no longer separate them (0.0-µs artifacts); the threshold
+  sits at the smallest measured win.
+- Decode, paged pool: flash wins every measured point down to
+  B*window = 512 (B=2 W=256: 8.5 vs 11.6 µs) and by 4–5.6× at pool scale
+  (B=16 W=4096: 780 vs 4188 µs) — window_view's gather copy collapses to
+  ~130–160 GB/s at large B*W.
+
+Threshold constants are module-level so a probe rerun can recalibrate them
+in one place.
+"""
+
+from __future__ import annotations
+
+# B*window (tokens) above which the fused flash kernel beats the XLA
+# einsum path — measured on v5e against the all-heads kernel
+# (artifacts/attn_crossover_r04{,_fine}.txt).  Set at the smallest
+# measured flash win; below it the kernels are too fast to separate and
+# the fused einsum is the safe default (also keeps tiny CPU-test models
+# off the interpret-mode kernel path).
+FLASH_CROSSOVER_SLAB = 1024
+FLASH_CROSSOVER_PAGED = 512
+
+
+def resolve_attn(
+    attn: str,
+    *,
+    batch: int,
+    window: int,
+    t: int = 1,
+    paged: bool = False,
+) -> str:
+    """Resolve "auto" to "flash" | "xla" (idempotent for concrete values).
+
+    All inputs are trace-time static (batch/window stamp the jit program;
+    bucketed windows recompile per bucket, so auto re-resolves per bucket
+    — exactly like resolve_variant re-resolving per batch).
+    """
+    if attn != "auto":
+        return attn
+    if t > 1:
+        return "xla"
+    threshold = FLASH_CROSSOVER_PAGED if paged else FLASH_CROSSOVER_SLAB
+    return "flash" if batch * window >= threshold else "xla"

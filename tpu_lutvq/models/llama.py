@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_lutvq.core.config import VQConfig, aqlm_2x8
+from tpu_lutvq.models.attn_policy import resolve_attn
 from tpu_lutvq.models.kv_cache import KVCache, update_cache
 from tpu_lutvq.models.linear import DenseLinear, QuantizedLinear, make_quantized_linear
 
@@ -239,6 +240,7 @@ def _attention(
     b, t, nh, dh = q.shape
     if window is None:
         window = cache.max_seq
+    attn = resolve_attn(attn, batch=b, window=window, t=t, paged=False)
     if t == 1 and attn == "flash":
         from tpu_lutvq.kernels.flash_decode import flash_decode_attention
 
@@ -284,13 +286,15 @@ def _block(
     collective: str = "psum",  # "psum" (blocking) | "ring" (overlapped)
     axis_size: Optional[int] = None,  # static TP degree (required for "ring")
     variant: str = "auto",  # lookup-kernel flavor (QuantizedLinear.apply)
+    quality: str = "exact",  # serving precision budget (QuantizedLinear.apply)
     stacked=None,  # (caches_all with layer axis, li): direct stacked-cache IO
 ) -> tuple[jax.Array, KVCache]:
     b, t, h = x.shape
     vq_h = cfg.vq_cfg(cfg.hidden)
     vq_o = cfg.vq_cfg(cfg.q_dim)  # == vq_h unless heads are TP-sharded
     vq_f = cfg.vq_cfg(cfg.ffn)
-    kw = dict(strategy=strategy, interpret=interpret, variant=variant)
+    kw = dict(strategy=strategy, interpret=interpret, variant=variant,
+              quality=quality)
 
     def row_parallel(layer, vq_cfg_local, y):
         """Row-parallel epilogue: compute-then-psum, or the ring-overlapped
@@ -331,7 +335,8 @@ def _block(
             )
         cache = cache.append(k, v, pos)
         w = window if window is not None else cache.max_seq
-        if attn == "flash":
+        attn_r = resolve_attn(attn, batch=b, window=w, t=t, paged=True)
+        if attn_r == "flash":
             from tpu_lutvq.kernels.flash_decode import flash_decode_paged
 
             out = flash_decode_paged(
@@ -406,6 +411,7 @@ def llama_forward(
     collective: str = "psum",
     axis_size: Optional[int] = None,
     variant: str = "auto",
+    quality: str = "exact",
 ):
     """Forward pass over T new tokens at absolute position(s) ``pos``.
 
@@ -416,7 +422,13 @@ def llama_forward(
     ``window`` (static) bounds the cache prefix attention reads — the
     length-bucketing hook: recompile per bucket, blocks past the bucket are
     never streamed (flash kernel grid).  ``attn`` picks the decode kernel
-    ("flash" fused Pallas | "xla" einsum oracle).
+    ("flash" fused Pallas | "xla" einsum oracle | "auto" from the measured
+    B×window crossover, models/attn_policy.py).
+
+    ``quality`` is the serving precision budget ("exact" | "fast") forwarded
+    to every projection (QuantizedLinear.apply): under "fast", batch
+    strategies may trade weight-table precision for throughput (W8A8 i8
+    quad tables; delta measured in artifacts/i8_quality_r04.txt).
 
     With ``axis_name`` set (inside shard_map over a TP mesh axis) the layer
     dims in ``cfg`` must be the per-device locals; row-parallel projections
@@ -452,7 +464,7 @@ def llama_forward(
             x, caches_all, li = carry
             x, caches_all = _block(
                 cfg, lw, x, None, pos, strategy, interpret, axis_name,
-                window, attn, collective, axis_size, variant,
+                window, attn, collective, axis_size, variant, quality,
                 stacked=(caches_all, li),
             )
             return (x, caches_all, li + 1), None
@@ -465,7 +477,7 @@ def llama_forward(
         for lw, cache in zip(weights.layers, caches):
             x, cache = _block(
                 cfg, lw, x, cache, pos, strategy, interpret, axis_name,
-                window, attn, collective, axis_size, variant,
+                window, attn, collective, axis_size, variant, quality,
             )
             new_caches.append(cache)
         new_caches = tuple(new_caches)

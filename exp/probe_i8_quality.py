@@ -8,11 +8,18 @@ pairs vs int8 entries + per-word scales — which depends on codebook/scale
 statistics the 7B-shape synthetic init reproduces, not on trained values):
 
 - teacher-forced logits for (B, T) token sequences under
-  quality="exact" (bf16x2 tables) and quality="fast" (i8 tables),
-  strategy=dequant_mm, against the f32-table oracle at the same weights;
-- per-position KL(oracle || path) in nats, plus top-1 agreement and the
+  quality="exact" (bf16x2 tables — the serving default, table-lookup
+  exact at bf16 entry precision; its parity with the dense-dequant path
+  is pinned in tests/test_eval.py) vs quality="fast" (i8 tables),
+  strategy=dequant_mm, same weights;
+- per-position KL(exact || fast) in nats, plus top-1 agreement and the
   synthetic-corpus ppl ratio — the serving-level "is the trade within
   budget" numbers for the quality knob.
+
+(The f32-table kernel oracle cannot run at the 7B down-proj shape: its
+resident gather tables are 22.5 MB > the 16 MiB Mosaic scoped-VMEM
+budget — the bf16x2/i8 paths exist precisely because f32 tables do not
+scale; see dequant_mm.py table-mode notes.)
 
 Run on TPU: python exp/probe_i8_quality.py  (tee to
 artifacts/i8_quality_r04.txt)
@@ -52,7 +59,7 @@ def main():
         return jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
 
     out = {}
-    for name in ("f32", "bf16x2", "i8"):
+    for name in ("bf16x2", "i8"):
         # variant routes table precision under dequant_mm
         # (QuantizedLinear.apply); "bf16x2" is spelled variant="auto"
         variant = "auto" if name == "bf16x2" else name
@@ -62,9 +69,9 @@ def main():
         out[name] = lp
         print(f"{name}: forward {time.time() - t0:.1f}s", flush=True)
 
-    ref = out["f32"]
+    ref = out["bf16x2"]
     ref_ll = jnp.take_along_axis(ref[:, :-1], tokens[:, 1:, None], -1)[..., 0]
-    for name in ("bf16x2", "i8"):
+    for name in ("i8",):
         lp = out[name]
         kl = jnp.sum(jnp.exp(ref) * (ref - lp), axis=-1)  # (B, T)
         top1 = jnp.mean(
@@ -73,7 +80,7 @@ def main():
         ll = jnp.take_along_axis(lp[:, :-1], tokens[:, 1:, None], -1)[..., 0]
         ppl_ratio = jnp.exp(-(ll.mean() - ref_ll.mean()))
         print(
-            f"{name:7s} vs f32 oracle: KL mean={float(kl.mean()):.3e} "
+            f"{name:7s} vs bf16x2 exact: KL mean={float(kl.mean()):.3e} "
             f"p95={float(jnp.percentile(kl, 95)):.3e} nats  "
             f"top1 agree={float(top1) * 100:.2f}%  "
             f"ppl ratio={float(ppl_ratio):.5f}",

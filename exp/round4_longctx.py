@@ -15,7 +15,7 @@ artifacts/longctx_r04.txt)
 import sys
 
 sys.path.insert(0, ".")
-from tpu_lutvq.bench.e2e import run
+from tpu_lutvq.bench.e2e import run, run_prefill
 from tpu_lutvq.utils.cache import enable_persistent_cache
 
 GRID = [
@@ -32,6 +32,16 @@ GRID = [
 ]
 
 
+# Long-T prefill: the flash-prefill kernel's reason to exist is MEMORY —
+# the XLA path materializes a (B, H, T, W) f32 score transient per layer
+# (B=8, T=4096 at 7B: 17 GB > the 16 GB chip).  Expect xla to OOM and
+# flash to complete (VERDICT r3 weak #6: "show the shape where it matters").
+GRID_PREFILL = [
+    (8, 4096, "xla"),
+    (8, 4096, "flash"),
+]
+
+
 def main():
     enable_persistent_cache()
     for batch, ctx, attn in GRID:
@@ -40,6 +50,12 @@ def main():
         except Exception as e:  # keep the sweep going; record the failure
             print(f"7b B={batch} ctx={ctx} attn={attn}: FAILED {type(e).__name__}: {e}",
                   flush=True)
+    for batch, seq, attn in GRID_PREFILL:
+        try:
+            run_prefill(model="7b", batch=batch, seq=seq, attn=attn)
+        except Exception as e:
+            print(f"7b prefill B={batch} T={seq} attn={attn}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -74,8 +74,14 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
         stack_llama_weights,
     )
 
-    cfg = LlamaConfig(**MODELS[model])
-    seq = min(seq, cfg.max_seq - 1)
+    model_kw = dict(MODELS[model])
+    if seq + 1 > model_kw["max_seq"]:
+        # long-context prefill: grow the cache to fit the prompt — the
+        # regime where the XLA path's (B, H, T, T) f32 score transient
+        # blows HBM (B=8 T=4096 at 7B: 17 GB) and the tiled flash-prefill
+        # kernel's VMEM-resident scores are the only way through
+        model_kw["max_seq"] = seq + 1
+    cfg = LlamaConfig(**model_kw)
 
     @jax.jit
     def build(key):

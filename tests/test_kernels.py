@@ -405,3 +405,21 @@ def test_auto_strategy_on_nibbles_stays_correct(rng):
     np.testing.assert_allclose(
         np.asarray(y) / s, np.asarray(ref) / s, rtol=1e-2, atol=1e-2
     )
+
+
+def test_dequant_matmul_f32_grid_split(rng):
+    """7B w_down geometry (d_in=11008): the fully resident f32 gather tables
+    are 22.5 MB > the 16 MiB scoped-VMEM budget (this exact shape crashed the
+    r4 quality probe's oracle leg on hardware), so the f32 path must take the
+    v3 grid-split form (one w-slice resident, out accumulated across w) and
+    still match golden == (the f32 tier is the exactness oracle)."""
+    cfg = aqlm_2x8(11008, group=8, shared_codebook=True)
+    params = init_vq_params(rng, cfg, 256, dtype=jnp.float32, with_scales=True)
+    packed = pack_params(cfg, params, block_j=256)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, cfg.d_in), jnp.float32)
+    got = dequant_matmul(cfg, packed, x, block_j=256, tables="f32", interpret=True)
+    want = golden.fp_gemm(cfg, params, x)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(want) / scale, rtol=1e-4, atol=1e-4
+    )

@@ -446,6 +446,81 @@ def _dequant_mm_kernel(
         out_ref[:, t * LANE : (t + 1) * LANE] = acc
 
 
+def _dequant_mm_kernel_v3(
+    tables_ref,  # (g_pad, Kp) f32 — ONE w-slice of the gather tables
+    codes_ref,  # (g_pad, bj) u8
+    x_ref,  # (b, m_pad) f32 — this w's activation columns
+    scales_ref,  # (1, bj) f32
+    out_ref,  # (b, bj) f32 — revisited (accumulated) across the w axis
+    *,
+    b,
+    m,
+    n,
+    k,
+    d,
+    m_pad,
+    block_j,
+    has_scales,
+    precision,
+    interpret,
+):
+    """f32-table variant, v3: the ``d_subvec`` weight-column axis rides a
+    second grid dimension instead of a fully resident table stack.
+
+    Why: the resident ``(d·g_pad, Kp)`` f32 tables of the base kernel are
+    2× the bf16x2 pair tables and blow the 16 MiB Mosaic scoped-VMEM limit
+    outright on fat-d_in layers (7B w_down d_in=11008: 22.5 MB tables —
+    no batch tile can save that).  The f32 path is the oracle/compat tier
+    (odd d_subvec is rerouted here), so it must at least run everywhere:
+    grid (n_j, d) — w innermost — keeps one (g_pad, Kp) sub-table resident
+    per step, accumulates output tiles across w (sequential TPU grid), and
+    applies per-output scales once at the last w.  Same structure as
+    ``_dequant_mm_bf16x2_kernel_v3``.
+    """
+    w = pl.program_id(1)
+    for t in range(block_j // LANE):
+        idx = codes_ref[:, t * LANE : (t + 1) * LANE].astype(jnp.int32)
+        if k > LANE:
+            is_lo = idx < LANE
+            idx_g = (idx & (LANE - 1)) if interpret else idx
+            table = tables_ref[...]
+            lo = jnp.take_along_axis(table[:, :LANE], idx_g, axis=1)
+            hi = jnp.take_along_axis(table[:, LANE : 2 * LANE], idx_g, axis=1)
+            sel = jnp.where(is_lo, lo, hi)
+        else:
+            sel = jnp.take_along_axis(tables_ref[:, :LANE], idx, axis=1)
+        # sum additive codebooks: contiguous sublane blocks (n-major order)
+        gw = sel[:m, :]
+        for nn in range(1, n):
+            gw = gw + sel[nn * m : (nn + 1) * m, :]
+        if m_pad > m:  # x slice is lane-padded; matching zero rows keep the
+            gw = jnp.concatenate(  # contraction exact
+                [gw, jnp.zeros((m_pad - m, LANE), gw.dtype)], axis=0
+            )
+        part = jax.lax.dot_general(
+            x_ref[...],
+            gw,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (b, 128)
+        ts = slice(t * LANE, (t + 1) * LANE)
+
+        @pl.when(w == 0)
+        def _init():
+            out_ref[:, ts] = part
+
+        @pl.when(w > 0)
+        def _accum():
+            out_ref[:, ts] = out_ref[:, ts] + part
+
+    if has_scales:
+
+        @pl.when(w == d - 1)
+        def _scale():
+            out_ref[...] = out_ref[...] * scales_ref[...]
+
+
 def dequant_matmul(
     cfg: VQConfig,
     packed: PackedVQ,
@@ -530,23 +605,33 @@ def dequant_matmul(
         tbl, s_wg = build_gather_tables_i8(cfg, packed.codebook)
         kp = tbl.shape[-1]
         # the i8 resident set is ~half of bf16x2's; size the batch tile
-        # against the Mosaic scoped-VMEM budget directly
+        # against the Mosaic scoped-VMEM budget directly.  Two costs the
+        # r3 model missed (7B w_down overflowed at B=248: 19.03M > 16M,
+        # r4 quality probe): Mosaic double-buffers grid-varying blocks
+        # (codes, out), and the gather temporaries live on the kernel
+        # stack (~3 live (g_pad, LANE) i32 values + the bitcast rows
+        # buffer per tile).
         budget = 0.9 * 16 * 2**20
-        fixed = quarter * g_pad * kp * 4 + g_pad * bj  # v2: all q-slices resident
-        per_b = quarter * mn4 + bj * 4  # int8 x row + f32 out row
+        stack = 3 * g_pad * LANE * 4 + mn4 * LANE
+        fixed = quarter * g_pad * kp * 4 + 2 * g_pad * bj + stack
+        per_b = quarter * mn4 + 2 * bj * 4  # int8 x row + dbl-buf f32 out row
         v2_fits = fixed + 8 * per_b <= budget
         if not v2_fits:  # v3: one q-slice resident, q on the grid
             mn4_pad = _round_up(mn4, LANE)
-            fixed = g_pad * kp * 4 + g_pad * bj
-            per_b = quarter * mn4_pad + bj * 4
-            if fixed + 8 * per_b > budget:
+            fixed = g_pad * kp * 4 + 2 * g_pad * bj + stack
+            per_b = quarter * mn4_pad + 2 * bj * 4
+            # hard blocks alone (tables + codes) over budget is a certain
+            # non-fit → raise; stack overage is a model ESTIMATE — clamp the
+            # batch tile to the floor and let Mosaic schedule (it reuses
+            # temporaries better than the 3-live-values bound assumes)
+            if g_pad * kp * 4 + 2 * g_pad * bj + 8 * per_b > budget:
                 raise ValueError(
                     f"i8 quad tables for d_in={cfg.d_in} need "
                     f"{fixed/2**20:.1f} MiB resident even grid-split, over "
                     f"the 16 MiB Mosaic scoped-VMEM budget — shrink block_j "
                     f"(now {bj})"
                 )
-        bt = max(8, min(b, int((budget - fixed) // per_b) // 8 * 8))
+        bt = max(8, min(b, int(max(budget - fixed, 0) // per_b) // 8 * 8))
         if b > bt:
             outs = [
                 dequant_matmul(
@@ -747,33 +832,93 @@ def dequant_matmul(
     x_perm = jnp.transpose(
         x.astype(jnp.float32).reshape(b, m, d), (0, 2, 1)
     ).reshape(b, d * m)
-    kern = functools.partial(
-        _dequant_mm_kernel,
-        b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
-        block_j=bj, has_scales=has_scales, precision=precision,
-    )
     table_rows = d * g_pad
-    scratch_shapes = [pltpu.VMEM((d * m, LANE), jnp.float32)]
     x_cols = d * m
     kp = tbl.shape[-1]
+    # f32 tables are 2x the bf16x2 pair tables; on fat-d_in layers the
+    # fully resident stack alone can blow the Mosaic scoped-VMEM limit
+    # (7B w_down: 22.5 MB > 16 MiB) — no batch tile saves that, so the
+    # v3 grid split (one w-slice resident, out accumulated across w) is
+    # the only shape in which the oracle/compat tier runs everywhere.
+    budget = 0.9 * 16 * 2**20
+    # grid-varying blocks (codes, out) are double-buffered by Mosaic and
+    # the gather temporaries live on the kernel stack (~3 live
+    # (g_pad, LANE) f32 values) — same accounting as the i8 fits model
+    stack = 3 * g_pad * LANE * 4
+    v2_resident = (
+        table_rows * kp * 4 + b * x_cols * 4 + 2 * g_pad * bj
+        + (2 * b + 1) * bj * 4 + d * m * LANE * 4 + stack  # + W^T scratch
+    )
+    if v2_resident <= budget:
+        kern = functools.partial(
+            _dequant_mm_kernel,
+            b=b, m=m, n=n, d=d, k=cfg.n_cluster, g_pad=g_pad,
+            block_j=bj, has_scales=has_scales, precision=precision,
+        )
+        scratch_shapes = [pltpu.VMEM((d * m, LANE), jnp.float32)]
+        if scales is None:
+            scales = jnp.ones((1, bj), jnp.float32)
+            scale_spec = pl.BlockSpec((1, bj), lambda j: (0, 0), memory_space=pltpu.VMEM)
+        else:
+            scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            kern,
+            grid=(d_out_pad // bj,),
+            in_specs=[
+                pl.BlockSpec((table_rows, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, x_cols), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((b, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(tbl, packed.codes_t, x_perm, scales)
+        return _apply_zero_points(out[:, :valid], packed, x)
+
+    # v3: shrink the batch tile against the per-w resident set if needed
+    # (tables + x slices are grid-varying → double-buffered; stack as above)
+    m_pad = _round_up(m, LANE)
+    fixed = 2 * g_pad * kp * 4 + 2 * g_pad * bj + stack + m_pad * LANE * 4
+    per_b = (2 * m_pad + 2 * bj + 1) * 4
+    bt = max(8, min(b, int((budget - fixed) // per_b) // 8 * 8))
+    if b > bt:
+        outs = [
+            dequant_matmul(
+                cfg, packed, x[i : i + bt], block_j=bj, precision=precision,
+                tables="f32", interpret=interpret, batch_tile=bt,
+            )
+            for i in range(0, b, bt)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    x3 = x_perm.reshape(b, d, m)
+    if m_pad > m:
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, m_pad - m)))
     if scales is None:
         scales = jnp.ones((1, bj), jnp.float32)
-        scale_spec = pl.BlockSpec((1, bj), lambda j: (0, 0), memory_space=pltpu.VMEM)
+        scale_spec = pl.BlockSpec((1, bj), lambda j, w: (0, 0), memory_space=pltpu.VMEM)
     else:
-        scale_spec = pl.BlockSpec((1, bj), lambda j: (0, j), memory_space=pltpu.VMEM)
-
+        scale_spec = pl.BlockSpec((1, bj), lambda j, w: (0, j), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        kern,
-        grid=(d_out_pad // bj,),
+        functools.partial(
+            _dequant_mm_kernel_v3,
+            b=b, m=m, n=n, k=cfg.n_cluster, d=d, m_pad=m_pad,
+            block_j=bj, has_scales=has_scales, precision=precision,
+            interpret=interpret,
+        ),
+        # j outer, w inner: codes blocks fetched once per output tile, one
+        # w-slice of the tables resident at a time, out accumulated across w
+        grid=(d_out_pad // bj, d),
         in_specs=[
-            pl.BlockSpec((table_rows, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_pad, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, x_cols), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_pad, kp), lambda j, w: (w, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_pad, bj), lambda j, w: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, m_pad), lambda j, w: (0, w), memory_space=pltpu.VMEM),
             scale_spec,
         ],
-        out_specs=pl.BlockSpec((b, bj), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, bj), lambda j, w: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d_out_pad), jnp.float32),
-        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(tbl, packed.codes_t, x_perm, scales)
+    )(tbl, packed.codes_t, x3.reshape(b, d * m_pad), scales)
     return _apply_zero_points(out[:, :valid], packed, x)

@@ -197,10 +197,11 @@ def test_attn_policy_resolution():
     assert resolve_attn("xla", batch=16, window=8192) == "xla"
     # prefill always resolves to xla (flash-prefill never won end-to-end)
     assert resolve_attn("auto", batch=16, window=8192, t=512) == "xla"
-    # decode: the redesigned all-heads kernel wins every measured point
-    # down to B*window = 1024 slab / 512 paged — including B=1
-    assert resolve_attn("auto", batch=1, window=8192) == "flash"
-    assert resolve_attn("auto", batch=1, window=1024) == "flash"
+    # decode: the redesigned all-heads kernel wins every measured e2e point
+    # at B >= 2 down to B*window = 1024 slab / 512 paged; B=1 slab flips
+    # end-to-end (longctx_r04.txt) so auto keeps the einsum there
+    assert resolve_attn("auto", batch=1, window=8192) == "xla"
+    assert resolve_attn("auto", batch=2, window=1024) == "flash"
     assert resolve_attn("auto", batch=8, window=512) == "flash"
     assert resolve_attn("auto", batch=16, window=256) == "flash"
     # below the smallest measured win both paths are ~us-fast: xla default

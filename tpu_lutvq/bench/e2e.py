@@ -100,6 +100,7 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
         logits, caches = llama_forward(
             cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
             interpret=interpret, window=win, variant=variant, attn=attn,
+            logits_mode="last",  # (B, T, vocab) f32 is 4.2 GB at B=8 T=4096
         )
         return logits[:, -1], caches
 

@@ -17,14 +17,16 @@ Measured shape of the decision (7B geometry, Hkv=32, Dh=128, int8 KV):
   resolves to "xla"; the tiled kernel remains the explicit long-context
   fallback (its VMEM-resident scores matter where the XLA path's transient
   blows memory, not time).
-- Decode (T == 1), slab cache: the redesigned flash kernel wins EVERY
-  measured point down to B*window = 1024 — including B=1 (W=1024:
-  16.9 vs 26.9 µs; W=8192: 101 vs 184 µs), which the old 145 GB/s kernel
-  lost.  It sustains 510–780 GB/s vs the einsum path's 320–450 (the XLA
-  path re-reads scores/probs through HBM and burns a (B, H, 1, S)
-  softmax).  Below B*window ≈ 1K both paths are ≤ ~15 µs and the slope
-  protocol can no longer separate them (0.0-µs artifacts); the threshold
-  sits at the smallest measured win.
+- Decode (T == 1), slab cache: the redesigned flash kernel standalone
+  wins EVERY measured point down to B*window = 1024 — including B=1
+  (W=1024: 16.9 vs 26.9 µs; W=8192: 101 vs 184 µs), which the old
+  145 GB/s kernel lost.  It sustains 510–780 GB/s vs the einsum path's
+  320–450 (the XLA path re-reads scores/probs through HBM and burns a
+  (B, H, 1, S) softmax).  Below B*window ≈ 1K both paths are ≤ ~15 µs
+  and the slope protocol can no longer separate them (0.0-µs artifacts);
+  the threshold sits at the smallest measured win.  END-TO-END, however,
+  B=1 flips (see MIN_BATCH_FOR_FLASH_SLAB below) — auto trusts the e2e
+  measurement where the two disagree.
 - Decode, paged pool: flash wins every measured point down to
   B*window = 512 (B=2 W=256: 8.5 vs 11.6 µs) and by 4–5.6× at pool scale
   (B=16 W=4096: 780 vs 4188 µs) — window_view's gather copy collapses to
@@ -44,6 +46,16 @@ from __future__ import annotations
 # off the interpret-mode kernel path).
 FLASH_CROSSOVER_SLAB = 1024
 FLASH_CROSSOVER_PAGED = 512
+# B=1 slab decode: the STANDALONE kernel wins at B=1 (W=4096: 51 vs
+# 89.5 µs) but END-TO-END inside the 32-layer 7B decode step flash LOSES
+# at B=1 (ctx=4096: 61.1 vs 79.6 tok/s; ctx=8192: 44.8 vs 61.6 —
+# artifacts/longctx_r04.txt): ~120 µs/layer of in-model overhead
+# (operand relayout/copies feeding the pallas call after the cache
+# scatter, vs the einsum path fusing straight through) that the isolated
+# probe never pays.  At B>=4 the e2e measurements flip to flash
+# (B=4 ctx=8192: 85.6 vs 72.7 tok/s), matching the probe.  The e2e
+# number is the one serving pays, so auto gates flash on B >= 2.
+MIN_BATCH_FOR_FLASH_SLAB = 2
 
 
 def resolve_attn(
@@ -63,6 +75,8 @@ def resolve_attn(
     if attn != "auto":
         return attn
     if t > 1:
+        return "xla"
+    if not paged and batch < MIN_BATCH_FOR_FLASH_SLAB:
         return "xla"
     threshold = FLASH_CROSSOVER_PAGED if paged else FLASH_CROSSOVER_SLAB
     return "flash" if batch * window >= threshold else "xla"

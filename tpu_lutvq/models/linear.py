@@ -44,6 +44,82 @@ class DenseLinear(NamedTuple):
         return self(x).astype(jnp.float32)
 
 
+class ChunkedVQLinear(NamedTuple):
+    """1x16 AQLM layer served at 1x16 FOOTPRINT via chunked on-the-fly dequant.
+
+    K=65536 codebooks cannot ride the fused Pallas kernels: the v5e lookup
+    primitive is a 128-lane gather (sublane has no dynamic gather), so a
+    fused exact 1x16 matmul is ~2 orders of magnitude off floor
+    (artifacts/ONE_X16.md rules it out with lane-slot arithmetic).  The two
+    prior servings were exact-but-dense (load-time dequant, 8x the weight
+    memory) or fused-but-lossy (2x8 refit, measured ppl +12.7% on
+    non-decomposable codebooks).  This tier is the missing middle: weights
+    stay at checkpoint footprint (uint16 codes + the 1-2 MB codebook), and
+    ``apply`` reconstructs bf16 weight CHUNKS on the fly with an XLA-level
+    gather from the HBM-resident codebook, feeding each chunk straight to
+    the MXU.  ``lax.map`` over chunks bounds the transient to
+    ``chunk x d_in`` bf16 (4 MB at 7B shapes) — never the full dense layer.
+
+    Exactness: identical to the load-time-dequant tier (same gather + sum +
+    scale, bf16 weights) — checkpoint quality, no refit loss.  Cost: the
+    reconstruct traffic is ~d_out*d_in*2 B per call (like reading a bf16
+    dense layer) plus the code reads — i.e. dense-bf16-class speed at 1x16
+    memory, NOT 2x8-kernel speed.  The right tier when the checkpoint is
+    1x16 and HBM is the binding constraint (e.g. 70B on one chip).
+
+    Reference analog: CUDA_KERNEL.code1x16_matmat serves 1x16 fused exactly
+    (benchmark_rq_gemm_gpu.py:103-105); on TPU this chunked XLA form is the
+    exact-at-footprint equivalent, with the platform constraint documented.
+    """
+
+    codes: jax.Array  # (r_out, n_groups, n_codebook) uint16|int32 raw codes
+    codebooks: jax.Array  # (out_g, n_codebook, K, d_subvec) bf16
+    scales: Optional[jax.Array]  # (d_out,) f32 per-output-row scales
+
+    @property
+    def out_g(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def d_in(self) -> int:
+        return self.codes.shape[1] * self.codebooks.shape[-1]
+
+    @property
+    def d_out(self) -> int:
+        return self.codes.shape[0] * self.out_g
+
+    def apply(self, cfg, x: jax.Array, *, chunk: int = 512, **_kw) -> jax.Array:
+        """(…, d_in) → (…, d_out) f32.  cfg/strategy ignored (duck-types
+        QuantizedLinear.apply); ``chunk`` is the reconstructed-rows tile."""
+        lead = x.shape[:-1]
+        xb = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+        r_out, g, ncb = self.codes.shape
+        og, _, k, d = self.codebooks.shape
+        chunk = min(chunk, r_out)
+        n_chunks = -(-r_out // chunk)
+        pad = n_chunks * chunk - r_out
+        codes = self.codes
+        if pad:
+            codes = jnp.pad(codes, ((0, pad), (0, 0), (0, 0)))
+        codes = codes.astype(jnp.int32).reshape(n_chunks, chunk, g, ncb)
+
+        def one(c):  # (chunk, g, ncb) → (B, chunk*og)
+            # additive-codebook gather-sum, vq.py:269-278 semantics
+            w = self.codebooks[:, 0][:, c[..., 0]]  # (og, chunk, g, d)
+            for nn in range(1, ncb):
+                w = w + self.codebooks[:, nn][:, c[..., nn]]
+            # interleave out-group rows: out row j = code row j//og, block j%og
+            w = jnp.transpose(w, (1, 0, 2, 3)).reshape(chunk * og, g * d)
+            return xb @ w.T.astype(jnp.bfloat16)  # (B, chunk*og)
+
+        y = jax.lax.map(one, codes)  # (n_chunks, B, chunk*og)
+        y = jnp.transpose(y, (1, 0, 2)).reshape(xb.shape[0], n_chunks * chunk * og)
+        y = y[:, : self.d_out].astype(jnp.float32)
+        if self.scales is not None:
+            y = y * self.scales[None, :]
+        return y.reshape(*lead, self.d_out)
+
+
 class QuantizedLinear(NamedTuple):
     """LUT-VQ quantized linear layer.
 

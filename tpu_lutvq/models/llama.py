@@ -412,6 +412,10 @@ def llama_forward(
     axis_size: Optional[int] = None,
     variant: str = "auto",
     quality: str = "exact",
+    logits_mode: str = "all",  # "all" | "last": lm_head over every position
+    # or only the final one.  Prefill only needs the last token's logits;
+    # "all" materializes (B, T, vocab) f32 — 4.2 GB at B=8 T=4096, which
+    # OOM'd the long-context prefill demo before this knob existed.
 ):
     """Forward pass over T new tokens at absolute position(s) ``pos``.
 
@@ -481,6 +485,8 @@ def llama_forward(
             )
             new_caches.append(cache)
         new_caches = tuple(new_caches)
+    if logits_mode == "last":
+        x = x[:, -1:]
     x = rms_norm(x, weights.final_norm, cfg.rms_eps)
     logits = weights.lm_head(x).astype(jnp.float32)
     return logits, new_caches

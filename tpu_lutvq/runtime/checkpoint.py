@@ -118,6 +118,10 @@ def load_aqlm_linear(
 
     - ``"dequant"`` — bit-exact load-time dequant to a bf16 ``DenseLinear``
       (no fused serving; 8× more weight memory).
+    - ``"chunked"`` — bit-identical to "dequant" at 1x16 FOOTPRINT: raw
+      codes + codebooks stay on device, bf16 weight chunks are
+      reconstructed on the fly per call (``ChunkedVQLinear``) —
+      checkpoint quality, 1/8th the weight memory, dense-bf16-class speed.
     - ``"refit"`` — re-fit to 2x8 (``core.quantize.refit_to_2x8``) and serve
       fused at the same code-byte footprint; the returned cfg is the 2x8
       config and the quality delta is logged.
@@ -145,6 +149,23 @@ def load_aqlm_linear(
         )
         return (
             QuantizedLinear(packed=pack_params(cfg, params, out_group=out_g)),
+            cfg,
+        )
+
+    if one_x16 == "chunked":
+        # serve at 1x16 FOOTPRINT: raw codes + codebooks on device, bf16
+        # weight chunks reconstructed on the fly (ChunkedVQLinear) — exact
+        # (same gather+sum+scale as "dequant") at 1/8th its weight memory,
+        # dense-bf16-class speed.  The per-code-row AQLM scale expands to
+        # per output row (row j = code row j//out_g, block j%out_g).
+        from tpu_lutvq.models.linear import ChunkedVQLinear
+
+        return (
+            ChunkedVQLinear(
+                codes=jnp.asarray(codes.astype(np.uint16)),
+                codebooks=jnp.asarray(cb, jnp.bfloat16),
+                scales=None if sc is None else jnp.asarray(np.repeat(sc, out_g)),
+            ),
             cfg,
         )
 

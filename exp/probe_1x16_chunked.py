@@ -1,0 +1,95 @@
+"""Measure the 1x16 chunked serving tier (ChunkedVQLinear) on hardware.
+
+The tier's claim (models/linear.py): 1x16 checkpoints served EXACTLY at
+checkpoint footprint (uint16 codes + codebook; 0.25 B/weight) with
+"dense-bf16-class" speed — the reconstruct traffic is one bf16 weight
+read's worth.  This probe pins the actual number next to the two existing
+tiers at the headline shape (4096x4096, B=1, v5e):
+
+  dense bf16 GEMV (= the one_x16="dequant" serving cost)   ~49 us (r4)
+  pair kernel      (= the one_x16="refit" serving cost)     ~23 us
+  ChunkedVQLinear  (exact at footprint)                     measured here
+
+Also sweeps the chunk size (VMEM-transient vs map-iteration tradeoff).
+
+Run: python exp/probe_1x16_chunked.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lutvq.models.linear import ChunkedVQLinear
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+D_IN, D_OUT, K, D_SUB = 4096, 4096, 65536, 8
+B = 1
+
+
+def build(key):
+    g = D_IN // D_SUB
+    kc, kb, ks = jax.random.split(key, 3)
+    codes = jax.random.randint(kc, (D_OUT, g, 1), 0, K, jnp.int32)
+    books = jax.random.normal(kb, (1, 1, K, D_SUB), jnp.bfloat16)
+    scales = jnp.ones((D_OUT,), jnp.float32)
+    return ChunkedVQLinear(codes=codes, codebooks=books, scales=scales)
+
+
+def slope(fn, *args, n_lo=2, n_hi=18):
+    """Chained-reps slope (tunnel-safe): us per op."""
+    def chain(n):
+        @jax.jit
+        def run(x, *a):
+            def body(x, _):
+                y = fn(x, *a)
+                # data dependency: fold output back into the input's lead dim
+                return (x + y[:, :D_IN] * 1e-6).astype(x.dtype), None
+            x, _ = jax.lax.scan(body, x, jnp.arange(n))
+            return x
+        return run
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, D_IN), jnp.bfloat16)
+    lo, hi = chain(n_lo), chain(n_hi)
+    r = lo(x, *args); float(r[0, 0])
+    t0 = time.perf_counter(); r = lo(x, *args); float(r[0, 0])
+    t_lo = time.perf_counter() - t0
+    r = hi(x, *args); float(r[0, 0])
+    t0 = time.perf_counter(); r = hi(x, *args); float(r[0, 0])
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (n_hi - n_lo) * 1e6
+
+
+def main():
+    enable_persistent_cache()
+    layer = build(jax.random.PRNGKey(0))
+    jax.tree.leaves(layer)[0].block_until_ready()
+    code_bytes = layer.codes.size * 2  # uint16 on disk; int32 here is the
+    # device representation (gather index dtype) — footprint is the uint16 one
+    book_bytes = layer.codebooks.size * 2
+    print(f"footprint: codes {code_bytes/1e6:.2f} MB (uint16) + codebook "
+          f"{book_bytes/1e6:.2f} MB = {(code_bytes+book_bytes)/1e6:.2f} MB "
+          f"vs dense bf16 {D_IN*D_OUT*2/1e6:.1f} MB", flush=True)
+
+    # dense bf16 GEMV reference at the same shape
+    w = jax.random.normal(jax.random.PRNGKey(2), (D_OUT, D_IN), jnp.bfloat16)
+    us_dense = slope(lambda x, w: (x @ w.T).astype(jnp.float32), w)
+    print(f"dense bf16 GEMV: {us_dense:.1f} us", flush=True)
+
+    for chunk in (256, 512, 1024, 2048):
+        us = slope(functools.partial(
+            lambda x, l, c: l.apply(None, x, chunk=c).astype(jnp.float32),
+            c=chunk), layer)
+        print(f"chunked 1x16 apply (chunk={chunk}): {us:.1f} us "
+              f"({us/us_dense:.2f}x dense)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

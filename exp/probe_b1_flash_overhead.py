@@ -1,0 +1,120 @@
+"""Where do ~120 us/layer go when B=1 decode uses the flash kernel?
+
+artifacts/longctx_r04.txt: standalone flash-decode at B=1 W=4096 wins
+(51 vs 89.5 us) yet the 32-layer 7B decode step LOSES with flash
+(16.24 -> 12.56 ms/step, i.e. ~+115 us/layer).  Something the model pays
+per layer that the isolated kernel probe never pays.
+
+Hypotheses:
+  H1  operand relayout: the cache-scatter output layout differs from the
+      layout Mosaic wants for the pallas operand -> XLA inserts a copy of
+      the (1, 32, S, 128) int8 K and V (16 MB each at S=4096; ~40 us of
+      DMA for the pair) per layer.
+  H2  the scale flattening (_flatten_scale_blocks transpose) or q prep.
+  H3  fusion loss around the kernel boundary (rmsnorm/rope can no longer
+      fuse into attention).
+
+Method: jit ONE attention layer exactly as the model invokes it — cache
+scatter (kv_cache.update) followed by _attention — at B=1, S=4096, 7B
+head geometry, attn in {flash, xla}; measure slope; then diff the
+compiled HLO for large copy/transpose ops feeding the custom call.
+
+Run on the real chip: python exp/probe_b1_flash_overhead.py
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.models.llama import LlamaConfig, _attention
+from tpu_lutvq.models.kv_cache import KVCache, update_cache
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+B, S, H, HKV, DH = 1, 4096, 32, 32, 128
+HID = H * DH
+
+
+def make_step(attn: str, cfg: LlamaConfig):
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
+    def step(q_new, cache: KVCache, pos, n=8):
+        # n chained scatter+attend rounds with a data dependency, mirroring
+        # the model's per-layer pattern (slope removes dispatch overhead)
+        def body(carry, i):
+            q, cache = carry
+            k_new = q.reshape(B, 1, HKV, DH)
+            v_new = q.reshape(B, 1, HKV, DH)
+            cache = update_cache(cache, k_new, v_new, pos + i)
+            out = _attention(cfg, q.reshape(B, 1, H, DH), cache,
+                             pos + i, S, attn, None)
+            return (out.reshape(B, HID).astype(q.dtype), cache), None
+
+        (q, cache), _ = jax.lax.scan(body, (q_new, cache), jnp.arange(n))
+        return q, cache
+
+    return step
+
+
+def slope(fn, q, cache, pos, n_lo=2, n_hi=34):
+    q1, c1 = fn(q, cache, pos, n=n_lo)
+    float(q1[0, 0])
+    t0 = time.perf_counter()
+    q1, c1 = fn(q1, c1, pos, n=n_lo)
+    float(q1[0, 0])
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    q2, c2 = fn(q1, c1, pos, n=n_hi)
+    float(q2[0, 0])
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (n_hi - n_lo) * 1e6  # us per scatter+attend
+
+
+def big_copies(compiled_text: str, min_mb: float = 1.0):
+    """Find copy/transpose/reshape ops over min_mb in optimized HLO."""
+    out = []
+    for line in compiled_text.splitlines():
+        m = re.search(r"= (\w+)\[([\d,]+)\][^ ]* (copy|transpose)\(", line)
+        if not m:
+            continue
+        dt, dims, op = m.groups()
+        elems = 1
+        for d in dims.split(","):
+            elems *= int(d)
+        bytes_ = elems * {"s8": 1, "u8": 1, "bf16": 2, "f32": 4,
+                          "s32": 4, "u32": 4, "f16": 2}.get(dt, 4)
+        if bytes_ >= min_mb * 1e6:
+            out.append((op, dt, dims, bytes_ / 1e6, line.strip()[:160]))
+    return out
+
+
+def main():
+    enable_persistent_cache()
+    cfg = LlamaConfig(vocab_size=256, hidden=HID, ffn=256, n_layers=1,
+                      n_heads=H, n_kv_heads=HKV, max_seq=S)
+    pos = jnp.full((B,), S - 40, jnp.int32)
+    for attn in ("xla", "flash"):
+        cache = KVCache.init(B, S, HKV, DH)
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, HID), jnp.bfloat16)
+        fn = make_step(attn, cfg)
+        us = slope(fn, q, cache, pos)
+        print(f"attn={attn}: {us:.1f} us per scatter+attend", flush=True)
+        lowered = fn.lower(q, cache, pos, n=8)
+        try:
+            txt = lowered.compile().as_text()
+            hits = big_copies(txt)
+            print(f"  optimized-HLO copies/transposes >= 1 MB: {len(hits)}")
+            for op, dt, dims, mb, line in hits[:12]:
+                print(f"    {op} {dt}[{dims}] {mb:.1f} MB :: {line}")
+        except Exception as e:
+            print(f"  (HLO dump failed: {type(e).__name__}: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,9 @@ def run(
 
 
 def main() -> None:
+    from tpu_lutvq.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="tiny", choices=list(MODELS))
     ap.add_argument("--slots", type=int, default=8)

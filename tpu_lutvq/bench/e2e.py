@@ -85,7 +85,9 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
 
     @jax.jit
     def build(key):
-        return stack_llama_weights(init_llama(key, cfg, dtype=jnp.float32))
+        # bf16 codebooks (same reasoning as run(): f32 synthetic codebooks
+        # cost 1.9 GB at 7B; at B=8 T=4096 that margin decides OOM-or-not)
+        return stack_llama_weights(init_llama(key, cfg, dtype=jnp.bfloat16))
 
     weights = build(jax.random.PRNGKey(0))
     caches = init_stacked_caches(cfg, batch)
@@ -95,7 +97,10 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
 
     win = bucket_window(seq, cfg.max_seq)  # don't scan cache rows past the prompt
 
-    @jax.jit
+    # donate the caches: without it the input AND output cache pytrees are
+    # live across the call — 2 x 8.5 GB at B=8 T=4096 7B, an HBM OOM before
+    # any score transient enters the picture
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def prefill(weights, tokens, caches):
         logits, caches = llama_forward(
             cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
@@ -104,10 +109,10 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
         )
         return logits[:, -1], caches
 
-    out, _ = prefill(weights, tokens, caches)
+    out, caches = prefill(weights, tokens, caches)
     float(out[0, 0])
     t0 = time.perf_counter()
-    out, _ = prefill(weights, tokens, caches)
+    out, caches = prefill(weights, tokens, caches)
     float(out[0, 0])
     dt = time.perf_counter() - t0
     row = {
@@ -229,6 +234,9 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
 
 
 if __name__ == "__main__":
+    from tpu_lutvq.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # 7B compiles cost 5-20 min through the tunnel
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="tiny", choices=list(MODELS))
     ap.add_argument("--batch", type=int, default=1)

@@ -1,0 +1,146 @@
+"""Full-model HLO + timing diff: why does B=1 decode lose with flash?
+
+probe_b1_flash_overhead.py (single isolated layer, scatter+attend in a
+scan) found NO >=1 MB copies in the flash module and a clean module for
+xla too (its 4 big copies are per-dispatch entry/exit relayouts, tag
+[main]) — so the ~120 us/layer e2e penalty (artifacts/longctx_r04.txt)
+is NOT a local operand-relayout at the pallas boundary.  This probe
+compiles the REAL decode program (bench.e2e decode_n: lax.scan over
+steps, python loop over layers, LUT-GEMV pallas projections interleaved)
+at 1B geometry and:
+
+  1. times the per-step slope properly (n_lo/n_hi both pre-compiled,
+     n_hi large enough that the ~35 ms tunnel RTT jitter is <5% of the
+     signal, best of 5);
+  2. scans the optimized HLO for big copies/transposes, tagged by the
+     computation they live in — a copy inside the while BODY is paid
+     every step, [main] copies once per dispatch.
+
+Run on the real chip: python exp/probe_b1_flash_e2e_hlo.py [model] [ctx]
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.bench.e2e import MODELS
+from tpu_lutvq.models import LlamaConfig, init_llama
+from tpu_lutvq.models.llama import init_caches, llama_decode_step
+from tpu_lutvq.runtime.generate import bucket_window
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+
+def big_copies(compiled_text: str, min_mb: float = 1.0):
+    out = []
+    comp = "?"
+    for line in compiled_text.splitlines():
+        mc = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->", line)
+        if mc:
+            comp = mc.group(1)
+        m = re.search(r"= (\w+)\[([\d,]+)\][^ ]* (copy|transpose)\(", line)
+        if not m:
+            continue
+        dt, dims, op = m.groups()
+        elems = 1
+        for d in dims.split(","):
+            elems *= int(d)
+        bytes_ = elems * {"s8": 1, "u8": 1, "bf16": 2, "f32": 4,
+                          "s32": 4, "u32": 4, "f16": 2}.get(dt, 4)
+        if bytes_ >= min_mb * 1e6:
+            out.append((op, dt, dims, bytes_ / 1e6, comp,
+                        line.strip()[:120]))
+    return out
+
+
+def main():
+    enable_persistent_cache()
+    model = sys.argv[1] if len(sys.argv) > 1 else "1b"
+    ctx = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    model_kw = dict(MODELS[model])
+    model_kw["max_seq"] = ctx
+    cfg = LlamaConfig(**model_kw)
+    batch = 1
+
+    @jax.jit
+    def build(key):
+        return init_llama(key, cfg, dtype=jnp.bfloat16)
+
+    weights = build(jax.random.PRNGKey(0))
+    jax.tree.leaves(weights)[0].block_until_ready()
+
+    steps_hi, steps_lo = 128, 8
+    base = ctx - 2 * steps_hi - 1
+    win = bucket_window(ctx, cfg.max_seq)
+
+    for attn in ("xla", "flash"):
+        @functools.partial(
+            jax.jit, static_argnames=("n_steps", "window"), donate_argnums=(2,)
+        )
+        def decode_n(weights, tokens, caches, pos0, n_steps, window=None):
+            def body(carry, i):
+                tokens, caches = carry
+                logits, caches = llama_decode_step(
+                    cfg, weights, tokens, caches, pos0 + i, strategy="auto",
+                    window=window, attn=attn,
+                )
+                return (jnp.argmax(logits, -1).astype(jnp.int32), caches), None
+
+            (tokens, caches), _ = jax.lax.scan(
+                body, (tokens, caches), jnp.arange(n_steps)
+            )
+            return tokens, caches
+
+        caches = init_caches(cfg, batch)
+        tokens = jnp.zeros((batch,), jnp.int32)
+        pos = jnp.full((batch,), base, jnp.int32)
+        # warm both specializations (compile outside the timed region)
+        tokens, caches = decode_n(weights, tokens, caches, pos, n_steps=steps_lo,
+                                  window=win)
+        int(tokens[0])
+        tokens, caches = decode_n(weights, tokens, caches, pos, n_steps=steps_hi,
+                                  window=win)
+        int(tokens[0])
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            tokens, caches = decode_n(weights, tokens, caches, pos,
+                                      n_steps=steps_lo, window=win)
+            int(tokens[0])
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            tokens, caches = decode_n(weights, tokens, caches, pos,
+                                      n_steps=steps_hi, window=win)
+            int(tokens[0])
+            t_hi = time.perf_counter() - t0
+            best = min(best, (t_hi - t_lo) / (steps_hi - steps_lo))
+        us_layer = best * 1e6 / cfg.n_layers
+        print(f"{model} ctx={ctx} attn={attn}: {best * 1e3:.3f} ms/step "
+              f"({us_layer:.1f} us/layer incl. projections)", flush=True)
+
+        try:
+            txt = decode_n.lower(
+                weights, tokens, caches, pos, n_steps=steps_lo, window=win
+            ).compile().as_text()
+        except Exception as e:
+            print(f"  (HLO dump failed: {type(e).__name__}: {e})")
+            continue
+        hits = big_copies(txt)
+        per_comp: dict[str, float] = {}
+        for op, dt, dims, mb, comp, _line in hits:
+            per_comp[comp] = per_comp.get(comp, 0.0) + mb
+        print(f"  copies/transposes >= 1 MB: {len(hits)}; MB by computation: "
+              f"{ {k: round(v, 1) for k, v in per_comp.items()} }")
+        for op, dt, dims, mb, comp, line in hits[:16]:
+            print(f"    [{comp}] {op} {dt}[{dims}] {mb:.1f} MB :: {line}")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,23 +63,38 @@ def make_step(attn: str, cfg: LlamaConfig):
 
 
 def slope(fn, q, cache, pos, n_lo=2, n_hi=34):
+    # warm BOTH n-specializations first: n is a static arg, so the n_hi call
+    # compiles a second program — through the tunnel that is seconds-to-
+    # minutes and must not land inside the timed region (the first version
+    # of this probe timed the compile and read 47 ms/iter)
     q1, c1 = fn(q, cache, pos, n=n_lo)
     float(q1[0, 0])
-    t0 = time.perf_counter()
-    q1, c1 = fn(q1, c1, pos, n=n_lo)
-    float(q1[0, 0])
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
     q2, c2 = fn(q1, c1, pos, n=n_hi)
     float(q2[0, 0])
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (n_hi - n_lo) * 1e6  # us per scatter+attend
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        q1, c1 = fn(q2, c2, pos, n=n_lo)
+        float(q1[0, 0])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        q2, c2 = fn(q1, c1, pos, n=n_hi)
+        float(q2[0, 0])
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+    return best * 1e6  # us per scatter+attend
 
 
 def big_copies(compiled_text: str, min_mb: float = 1.0):
-    """Find copy/transpose/reshape ops over min_mb in optimized HLO."""
+    """Find copy/transpose ops over min_mb in optimized HLO, tagged with the
+    computation they live in — a copy inside the while BODY is paid per
+    decode iteration; one at entry/exit is paid once per dispatch."""
     out = []
+    comp = "?"
     for line in compiled_text.splitlines():
+        mc = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->", line)
+        if mc:
+            comp = mc.group(1)
         m = re.search(r"= (\w+)\[([\d,]+)\][^ ]* (copy|transpose)\(", line)
         if not m:
             continue
@@ -90,7 +105,8 @@ def big_copies(compiled_text: str, min_mb: float = 1.0):
         bytes_ = elems * {"s8": 1, "u8": 1, "bf16": 2, "f32": 4,
                           "s32": 4, "u32": 4, "f16": 2}.get(dt, 4)
         if bytes_ >= min_mb * 1e6:
-            out.append((op, dt, dims, bytes_ / 1e6, line.strip()[:160]))
+            out.append((op, dt, dims, bytes_ / 1e6,
+                        f"[{comp}] " + line.strip()[:140]))
     return out
 
 

@@ -153,6 +153,36 @@ def test_llama_scan_matches_loop(tiny_model):
     assert caches2.k_q.shape[0] == cfg.n_layers  # layer axis leading
 
 
+def test_llama_scan_flash_reads_stacked_cache():
+    """Scan-mode decode with attn="flash" (head_dim=128 → the stacked-cache
+    kernel path, layer= scalar-prefetch indexing) == the attn="xla" scan
+    path on the same stacked cache.  Guards the round-4 fix for the
+    ~120 µs/layer slice copy that fed the pallas call (flash_decode.py)."""
+    from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
+
+    cfg = LlamaConfig.tiny(hidden=512, ffn=256, n_heads=4, n_kv_heads=2,
+                           max_seq=64)
+    assert cfg.head_dim == 128  # the stacked kernel path requires full lanes
+    weights = stack_llama_weights(
+        init_llama(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    )
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (2, 5), 0, cfg.vocab_size)
+    outs = {}
+    for attn in ("xla", "flash"):
+        caches = init_stacked_caches(cfg, 2)
+        _, caches = llama_forward(
+            cfg, weights, tokens, caches, jnp.int32(0),
+            strategy="dequant_mm", interpret=True, attn="xla",
+        )
+        step = jax.random.randint(jax.random.PRNGKey(10), (2, 1), 0, cfg.vocab_size)
+        logits, _ = llama_forward(
+            cfg, weights, step, caches, jnp.int32(5),
+            strategy="dequant_mm", interpret=True, attn=attn, window=64,
+        )
+        outs[attn] = np.asarray(logits)
+    np.testing.assert_allclose(outs["flash"], outs["xla"], rtol=2e-2, atol=2e-2)
+
+
 def test_llama_gqa_shapes():
     cfg = LlamaConfig.tiny(n_heads=4, n_kv_heads=2)
     weights = init_llama(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)

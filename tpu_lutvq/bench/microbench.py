@@ -75,7 +75,7 @@ if __name__ == "__main__":
     ap.add_argument("--dout", type=int, default=28672)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--variant", default="auto",
-                    help="lookup-kernel variant (auto|f32|pair|pairf|bpair|i8)")
+                    help="lookup-kernel variant (auto|f32|pair|pairf|bpair|i8|i16)")
     ap.add_argument("--csv", type=str, default=None)
     args = ap.parse_args()
     rows = run(args.dout, args.batch, variant=args.variant)

@@ -102,7 +102,10 @@ def _kernel(
 
     @pl.when(start <= pos_b)
     def _compute():
-        kf = k_ref[0].reshape(hkv * block_s, k_ref.shape[3])
+        # [...] + reshape collapses the leading unit dims whether the block
+        # came from a (B, Hkv, S, Dh) slab or a stacked (L, B, Hkv, S, Dh)
+        # cache (layer= mode) — a free leading-dim merge either way.
+        kf = k_ref[...].reshape(hkv * block_s, k_ref.shape[-1])
         q = q_ref[0]  # (Hp, Dh)
         # ONE matmul for every head: (Hp, Dh) x (Hkv*BS, Dh)^T.  Cross terms
         # (query head h against kv head h' != h//rep) are junk — masked next.
@@ -127,7 +130,7 @@ def _kernel(
         m_ref[...] = m_new
         if quantized:  # per-v-row scale folds into the prob matrix
             p = p * vs_ref[0, 0]
-        vf = v_ref[0].reshape(hkv * block_s, v_ref.shape[3])
+        vf = v_ref[...].reshape(hkv * block_s, v_ref.shape[-1])
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
@@ -164,27 +167,49 @@ def _prep_q(q, sm_scale):
 
 def flash_decode_attention(
     q: jax.Array,        # (B, H, Dh) — single-token queries, post-RoPE
-    k_q: jax.Array,      # (B, H_kv, S, Dh) int8 or bf16
-    v_q: jax.Array,      # (B, H_kv, S, Dh)
-    k_scale: jax.Array,  # (B, H_kv, S) f32
-    v_scale: jax.Array,  # (B, H_kv, S) f32
+    k_q: jax.Array,      # (B, H_kv, S, Dh) int8 or bf16 — or stacked
+    v_q: jax.Array,      #   (L, B, H_kv, S, Dh) when ``layer`` is given
+    k_scale: jax.Array,  # (B, H_kv, S) f32 — or (L, B, H_kv, S) stacked
+    v_scale: jax.Array,
     pos: jax.Array,      # (B,) i32 — attend to positions s <= pos[b]
     *,
     window: int,         # static read bucket; must cover max(pos)+1
     block_s: int = DEFAULT_BLOCK_S,
     interpret: bool | None = None,
+    layer: jax.Array | int | None = None,  # stacked-cache layer index
 ) -> jax.Array:
     """Single-step attention output ``(B, H, Dh)`` float32.
 
     ``window`` bounds the sequence prefix actually streamed from HBM; pick
     it per decode segment (see runtime.generate bucketing).  It is rounded
     up to a multiple of ``block_s`` and clamped to the cache length.
+
+    ``layer`` (traced scalar OK) switches to STACKED-cache mode: k/v (and
+    their scale planes) carry a leading layer axis and the kernel's
+    BlockSpec index maps offset into layer ``layer`` directly via scalar
+    prefetch — the same trick the paged kernel uses for block tables.  This
+    exists because the ``lax.scan`` decode path otherwise has to
+    ``dynamic_slice`` the layer's (B, H_kv, S, Dh) int8 planes out of the
+    stacked cache to feed the pallas call, and a Pallas operand — unlike
+    the XLA einsum path — cannot fuse that slice: the copy materializes
+    (~32 MB/layer at 7B window=4096, ~120 µs/layer) and single-handedly
+    flipped the B=1 end-to-end crossover to XLA in round 4
+    (artifacts/longctx_r04.txt).  Only the small f32 scale planes are still
+    sliced on the host (~1.5 % of the KV bytes).
     """
     interpret = resolve_interpret(interpret)
     b, h, dh = q.shape
-    hkv, s_max = k_q.shape[1], k_q.shape[2]
+    stacked = layer is not None
+    kv_shape = k_q.shape[1:] if stacked else k_q.shape
+    hkv, s_max = kv_shape[1], kv_shape[2]
     rep = h // hkv
     assert h == hkv * rep
+    if stacked and dh < LANE:
+        raise ValueError(
+            "stacked-cache mode needs head_dim >= 128 (lane-padding the "
+            "full stacked cache would copy it); slice the layer and call "
+            "without layer= instead"
+        )
     # VMEM budget: the flattened K/V blocks are (Hkv*BS, Dh) bf16 each —
     # cap Hkv*BS at 8K rows (~2 MB bf16 per operand at Dh=128).  The floor
     # is the int8 sublane quantum (32), so the cap actually holds up to
@@ -217,27 +242,47 @@ def flash_decode_attention(
         k_q, v_q = padkv(k_q), padkv(v_q)
     q3, hp, dhp = _prep_q(q, sm_scale)
     nblk = window // block_s
-    ks = _flatten_scale_blocks(k_scale, nblk, block_s)
-    vs = _flatten_scale_blocks(v_scale, nblk, block_s)
+    if stacked:
+        # only the small f32 scale planes are sliced out of the stack (the
+        # big int8 planes stream straight from the stacked buffer below)
+        li = jnp.asarray(layer, jnp.int32)
+        z = jnp.zeros((), jnp.int32)
+        sl = lambda p: jax.lax.dynamic_slice(
+            p, (li, z, z, z), (1, b, hkv, nblk * block_s)
+        )[0]
+        ks = _flatten_scale_blocks(sl(k_scale), nblk, block_s)
+        vs = _flatten_scale_blocks(sl(v_scale), nblk, block_s)
+    else:
+        ks = _flatten_scale_blocks(k_scale, nblk, block_s)
+        vs = _flatten_scale_blocks(v_scale, nblk, block_s)
 
     kern = functools.partial(
         _kernel, block_s=block_s, hkv=hkv, rep=rep, quantized=quantized
     )
+    if stacked:
+        # the kernel never reads the layer index — only the index maps do
+        kern_fn = lambda pos_ref, li_ref, *rest: kern(pos_ref, *rest)
+        kv_spec = pl.BlockSpec(
+            (1, 1, hkv, block_s, dhp), lambda b, s, pos, li: (li[0], b, 0, s, 0)
+        )
+        scalars = (jnp.asarray(pos, jnp.int32), li.reshape(1))
+    else:
+        kern_fn = kern
+        kv_spec = pl.BlockSpec(
+            (1, hkv, block_s, dhp), lambda b, s, *_: (b, 0, s, 0)
+        )
+        scalars = (jnp.asarray(pos, jnp.int32),)
     grid = (b, nblk)
     out = pl.pallas_call(
-        kern,
+        kern_fn,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalars),
             grid=grid,
             in_specs=[
                 # index maps take (*grid, *scalar_prefetch_refs)
                 pl.BlockSpec((1, hp, dhp), lambda b, s, *_: (b, 0, 0)),
-                pl.BlockSpec(
-                    (1, hkv, block_s, dhp), lambda b, s, *_: (b, 0, s, 0)
-                ),
-                pl.BlockSpec(
-                    (1, hkv, block_s, dhp), lambda b, s, *_: (b, 0, s, 0)
-                ),
+                kv_spec,
+                kv_spec,
                 pl.BlockSpec(
                     (1, 1, 1, hkv * block_s), lambda b, s, *_: (b, s, 0, 0)
                 ),
@@ -254,7 +299,7 @@ def flash_decode_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, dhp), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32), q3, k_q, v_q, ks, vs)
+    )(*scalars, q3, k_q, v_q, ks, vs)
     return out[:, :h, :dh]
 
 

@@ -366,8 +366,25 @@ def _block(
         caches_all, li = stacked
         cache = update_cache_stacked(caches_all, li, k, v, pos)
         w = window if window is not None else cache.k_q.shape[3]
-        view = slice_layer_window(cache, li, w)
-        attn_out_raw = _attention(cfg, q, view, pos, w, attn, interpret)
+        attn_r = resolve_attn(attn, batch=b, window=min(w, cache.k_q.shape[3]),
+                              t=t, paged=False)
+        if t == 1 and attn_r == "flash" and cfg.head_dim >= 128:
+            # decode flash reads the STACKED int8 planes directly (layer=
+            # scalar-prefetch BlockSpec offset) — slicing the layer out to
+            # feed the pallas call materialized a ~32 MB copy per layer at
+            # 7B w=4096 (~120 µs/layer, the round-4 B=1 e2e flip;
+            # kernels/flash_decode.py docstring)
+            from tpu_lutvq.kernels.flash_decode import flash_decode_attention
+
+            out = flash_decode_attention(
+                q[:, 0], cache.k_q, cache.v_q, cache.k_scale, cache.v_scale,
+                pos, window=min(w, cache.k_q.shape[3]), layer=li,
+                interpret=interpret,
+            )
+            attn_out_raw = out.reshape(b, 1, cfg.n_heads * cfg.head_dim)
+        else:
+            view = slice_layer_window(cache, li, w)
+            attn_out_raw = _attention(cfg, q, view, pos, w, attn_r, interpret)
     x = x + row_parallel(lw.wo, vq_o, attn_out_raw)
 
     xn = rms_norm(x, lw.mlp_norm, cfg.rms_eps)

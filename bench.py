@@ -40,30 +40,17 @@ _done = threading.Event()
 UNIT = "% of v5e HBM roofline (4096x4096 AQLM-2x8 shared-codebook GEMV, B=1)"
 
 
-def _probe_tunnel(timeout_s: float = 75.0) -> bool:
-    """One tiny TPU op in a SUBPROCESS with a hard timeout — the axon tunnel
-    hangs (not errors) when down, and an in-process hang would eat the whole
-    budget inside a doomed compile."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(float(jnp.ones((4,)).sum()))"],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-        return r.returncode == 0 and "4.0" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def _wait_for_tunnel() -> bool:
-    """Poll until the tunnel answers or the budget is nearly spent (leave
-    ~120 s for the cached-compile measurement path)."""
-    while True:
-        if _probe_tunnel():
-            return True
-        if time.time() - T0 > BUDGET_S - 150:
-            return False
-        time.sleep(20)
+# NOTE on the removed tunnel probe (rounds 1-4 carried one): a subprocess
+# probe ("tiny op within N s, else declare the tunnel down and emit 0")
+# misdiagnosed every slow-but-alive tunnel state — measured tiny-op
+# latencies range from ~2 s (warm) through ~45 s (cold) to ~204 s (degraded
+# remote, round-4 session) — and on a HEALTHY tunnel it still burned
+# ~45-60 s of budget paying jax init in a throwaway process.  The watchdog
+# thread already covers the only real hazard (an in-process hang inside a
+# doomed compile): it emits the best measurement so far — or the zero
+# sentinel with the last-good note — at budget end and exits 0.  So: no
+# gate, start measuring immediately; a dead tunnel costs exactly the same
+# zero it always did, a slow one now gets the whole budget to land a number.
 
 
 def _emit_and_exit(note: str) -> None:

@@ -23,8 +23,6 @@ synced by fetching a scalar; the 1-rep time is subtracted
 
 import json
 import os
-import subprocess
-import sys
 import threading
 import time
 
@@ -32,6 +30,10 @@ T0 = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "artifacts", "bench_last_good.json")
+# Committed fallback seed (the live LAST_GOOD is gitignored so on-HW runs
+# keep git status clean; the seed preserves the newest committed capture so
+# a fresh checkout + dead tunnel still reports a real number).
+LAST_GOOD_SEED = LAST_GOOD.replace(".json", "_seed.json")
 
 _lock = threading.Lock()
 _result: dict = {}
@@ -65,11 +67,13 @@ def _emit_and_exit(note: str) -> None:
         # no fresh measurement — surface the last recorded on-hardware run
         # (clearly labeled stale; value stays 0 so the artifact is honest)
         last = {}
-        try:
-            with open(LAST_GOOD) as f:
-                last = json.load(f)
-        except Exception:
-            pass
+        for path in (LAST_GOOD, LAST_GOOD_SEED):
+            try:
+                with open(path) as f:
+                    last = json.load(f)
+                break
+            except Exception:
+                continue
         payload = {
             "metric": "lut_gemv_hbm_roofline_pct",
             "value": 0.0,
@@ -124,10 +128,6 @@ def _record(dt: float, total_bytes: int, codes_bytes: int, hbm_bps: float, note:
 
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
-
-    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _wait_for_tunnel():
-        _emit_and_exit("tunnel down for the whole budget (probe never answered)")
-        return
 
     from tpu_lutvq.utils.cache import enable_persistent_cache
 
@@ -187,8 +187,10 @@ def main() -> None:
             r = fw(x)
         float(r.sum())
 
-    # Quick pass lands a number early.
-    dt = bench_time(f, x, n=256, repeats=1)
+    # Quick pass lands a number early.  floor_s makes the harness itself
+    # refuse (NaN) any slope below the physical floor; the > comparisons
+    # below are then trivially false for refused passes.
+    dt = bench_time(f, x, n=256, repeats=1, floor_s=floor_s)
     if dt > floor_s:
         _record(dt, total_bytes, codes_bytes, chip.hbm_gbps, "quick n=256")
 
@@ -206,7 +208,7 @@ def main() -> None:
     for i in range(5):
         if time.time() - T0 > BUDGET_S - 90:
             break
-        dt2 = bench_time(f, x, n=2048, repeats=3)
+        dt2 = bench_time(f, x, n=2048, repeats=3, floor_s=floor_s)
         passes.append(round(dt2 * 1e6, 2))
         if dt2 > floor_s and dt2 < best:
             best = dt2

@@ -29,6 +29,7 @@ def bench_time(
     *args,
     n: int = 256,
     repeats: int = 3,
+    floor_s: float = 0.0,
 ) -> float:
     """Seconds per call of ``f(x, *args)``; ``f`` returns an array or a
     tuple whose first element is one.
@@ -53,7 +54,21 @@ def bench_time(
       reported 8.3 µs for a kernel that two independent large-n slopes and
       both chain forms agree costs ~23 µs).  Differencing two runs that
       both carry ≥ n/4 reps cancels the constant overhead without ever
-      timing a near-empty dispatch."""
+      timing a near-empty dispatch.
+
+    A measurement the protocol cannot resolve comes back **NaN**, never a
+    flattering near-zero number (round-4 lesson: sub-µs attention ops at
+    n=64 produced committed artifact rows of "0.0 µs (17301504 GB/s)" —
+    physically impossible, and poison for any policy derived from them).
+    Refused when any of:
+    - the slope is ≤ 0 (RTT jitter swamped the in-dispatch signal),
+    - the slope is below ``floor_s`` (caller-supplied physical floor for
+      the op, e.g. compulsory bytes / HBM peak),
+    - with repeats ≥ 2, the slope signal med(t_n) − med(t_lo) is smaller
+      than the observed within-leg spread (max − min across repeats): the
+      difference of two medians whose own scatter exceeds their gap carries
+      no information.  Fix at the call site: rerun with n large enough that
+      (n − n/4)·op_time ≫ session jitter (≥ 1024 for sub-15 µs ops)."""
 
     @jax.jit
     def rep(k, x, *a):
@@ -81,7 +96,15 @@ def bench_time(
         float(rep(kl, x, *args))
         t_l.append(time.perf_counter() - t0)
     med = statistics.median
-    return max((med(t_n) - med(t_l)) / (n - n_lo), 1e-9)
+    signal = med(t_n) - med(t_l)
+    slope = signal / (n - n_lo)
+    if slope <= 0.0 or slope < floor_s:
+        return float("nan")
+    if repeats >= 2:
+        noise = max(max(t_n) - min(t_n), max(t_l) - min(t_l))
+        if signal < noise:
+            return float("nan")
+    return slope
 
 
 def device_metadata() -> dict:

@@ -126,6 +126,33 @@ def _record(dt: float, total_bytes: int, codes_bytes: int, hbm_bps: float, note:
         )
 
 
+def _best_confirmed(passes_s: list, rel: float = 0.20):
+    """The fastest pass that a second pass replicates within ``rel``.
+
+    One-sided noise (RTT, host scheduling, tunnel contention) makes the
+    fastest slope the best estimator — but only when it is not itself an
+    artifact.  Requiring a confirming neighbor rejects lone fliers (a
+    degraded session produced a 9.44 µs slope on a kernel whose derived
+    VPU floor is 21.8 µs — anti-correlated two-leg jitter, not speed).
+    ``rel=0.20``: the r4 variance probe saw honest same-session samples
+    spread ±9% around the median (so two honest draws can differ ~20%),
+    while the observed artifact class is 2×+ off.  Falls back to the
+    median when no two passes agree (maximally honest on a hopeless
+    session), and to the single pass when only one landed.
+    """
+    valid = sorted(p for p in passes_s if p == p)  # drop NaN
+    if not valid:
+        return None
+    if len(valid) == 1:
+        return valid[0]
+    for i, p in enumerate(valid[:-1]):
+        if valid[i + 1] <= p * (1.0 + rel):
+            return p
+    import statistics
+
+    return statistics.median(valid)
+
+
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -194,27 +221,40 @@ def main() -> None:
     if dt > floor_s:
         _record(dt, total_bytes, codes_bytes, chip.hbm_gbps, "quick n=256")
 
-    # Refined passes: best of up to 5 slopes spread across the budget
-    # (n=2048 puts ~45 ms of slope signal against ~ms RTT jitter).  Taking
-    # the best is sound here: a single slope's within-session spread is
-    # ±9% (pair 20.6–24.8 µs over 29 interleaved rounds,
-    # exp/probe_variance.py r4 run) and every error source — RTT jitter,
-    # host scheduling, a competing tunnel user — is a one-sided slowdown,
-    # so the fastest slope is the closest to the kernel's true rate.
-    # Per-pass times go into the JSON note so the spread is visible in the
-    # artifact itself.
-    best = dt if dt > floor_s else float("inf")
-    passes = []
+    # Refined passes: up to 5 slopes (n=2048 puts ~45 ms of slope signal
+    # against ~ms RTT jitter) spread across the budget, reported as the
+    # BEST CONFIRMED pass — the fastest slope that a second pass replicates
+    # within 15%.  Plain best-of-k assumed noise is one-sided (r4 model);
+    # a degraded round-5 session falsified that with a lone 9.44 µs flier
+    # in [22.06, 9.44, 42.36, 30.5, 26.44] — 2.3× past the derived VPU
+    # issue-rate floor, i.e. physically impossible, an anti-correlated
+    # two-leg jitter artifact.  The confirmation rule keeps the
+    # fast-tail-recovery property on clean sessions (r4 passes agreed
+    # within 3.4%) and rejects lone fliers on noisy ones.  Per-pass times
+    # go into the JSON note so the spread is auditable.
+    passes_s = [dt] if dt > floor_s else []
+    passes = [round(p * 1e6, 2) for p in passes_s]
     for i in range(5):
         if time.time() - T0 > BUDGET_S - 90:
             break
-        dt2 = bench_time(f, x, n=2048, repeats=3, floor_s=floor_s)
+        # n-escalation: a NaN means the harness refused the slope (within-
+        # leg jitter exceeded the signal) — the prescribed fix is more
+        # in-dispatch signal against the same RTT noise, so double n and
+        # retry (8192 reps ≈ 190 ms/leg of signal resolves sessions whose
+        # jitter drowns the 47 ms n=2048 legs; observed on the degraded
+        # round-5 session where every n=2048 pass was refused).
+        dt2 = float("nan")
+        for n_try in (2048, 4096, 8192):
+            dt2 = bench_time(f, x, n=n_try, repeats=3, floor_s=floor_s)
+            if dt2 == dt2:
+                break
         passes.append(round(dt2 * 1e6, 2))
-        if dt2 > floor_s and dt2 < best:
-            best = dt2
-        if best < float("inf"):
+        if dt2 > floor_s:  # NaN (refused slope) fails this
+            passes_s.append(dt2)
+        best = _best_confirmed(passes_s)
+        if best is not None:
             _record(best, total_bytes, codes_bytes, chip.hbm_gbps,
-                    f"refined n=2048 best-of-{i + 1}; passes_us={passes}")
+                    f"refined n=2048 best-confirmed-of-{i + 1}; passes_us={passes}")
         # brief gap so the passes sample different instants of session
         # state rather than one microburst (keep the kernel warm meanwhile)
         if i < 4 and time.time() - T0 < BUDGET_S - 120:
@@ -223,8 +263,9 @@ def main() -> None:
                 for _ in range(32):
                     r = fw(x)
                 float(r.sum())
-    if best == float("inf"):
-        best = dt
+    best = _best_confirmed(passes_s)
+    if best is None:
+        best = float("nan")
 
     # Dense bf16 comparison at the same shape (the reference's layer-tier
     # metric: dense vs LUT speedup, benchmark_rq_gemm_cpu.py:150-152).

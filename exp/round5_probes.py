@@ -1,0 +1,82 @@
+"""Round-5 hardware probes (VERDICT r4 items 3-5), run serially on one chip.
+
+Legs (select with argv[1]):
+  longctx  — B=1 ctx∈{4096,8192} decode at 7B, xla vs flash, POST the
+             stacked-cache fix (2eecae9): the r4 rows that gated
+             MIN_BATCH_FOR_FLASH_SLAB=2 predate it (VERDICT r4 weak #5).
+             tee to artifacts/longctx_r05.txt
+  prefill  — chunked prefill at the r4-OOM shape B=8 T=4096 7B (chunk=1024)
+             plus the one-shot control at a shape both paths still admit;
+             tee to artifacts/prefill_longT_r05.txt
+  i16      — lut_gemv variant=i16 at 4096² B∈{1,8} (the BENCH_NOTES "—"
+             cell) + layer tier at the 7B gate shape incl. chunked_1x16;
+             tee to artifacts/kernel_tiers_r05.txt
+"""
+import sys
+import traceback
+
+sys.path.insert(0, ".")
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+
+def leg_longctx():
+    from tpu_lutvq.bench.e2e import run
+
+    grid = [
+        (1, 4096, "xla"),
+        (1, 4096, "flash"),
+        (1, 8192, "xla"),
+        (1, 8192, "flash"),
+        (1, 8192, "auto"),  # what the policy currently serves
+    ]
+    for batch, ctx, attn in grid:
+        try:
+            run(model="7b", batch=batch, steps=32, attn=attn, ctx=ctx)
+        except Exception as e:
+            print(f"7b B={batch} ctx={ctx} attn={attn}: FAILED {e!r}", flush=True)
+            traceback.print_exc()
+
+
+def leg_prefill():
+    from tpu_lutvq.bench.e2e import run_prefill
+
+    cases = [
+        # (batch, T, attn, chunk) — chunk=0 is one-shot
+        (8, 4096, "auto", 1024),   # the r4 double-OOM shape, chunked
+        (8, 4096, "auto", 2048),   # chunk-size sensitivity
+        (4, 8192, "auto", 1024),   # long single-ish prompt, chunked
+        (8, 1024, "auto", 0),      # one-shot control (admits on chip)
+        (8, 1024, "auto", 1024),   # chunked at the same shape (overhead)
+        (8, 1024, "auto", 512),
+    ]
+    for batch, t, attn, chunk in cases:
+        try:
+            run_prefill(model="7b", batch=batch, seq=t, attn=attn, chunk=chunk)
+        except Exception as e:
+            print(
+                f"7b prefill B={batch} T={t} chunk={chunk}: FAILED {e!r}",
+                flush=True,
+            )
+
+
+def leg_i16():
+    from tpu_lutvq.bench import layer, microbench
+
+    for b in (1, 8):
+        print(f"== microbench 4096^2, B={b} ==", flush=True)
+        for variant in ("i16", "i8", "auto"):
+            try:
+                microbench.run(d_out=4096, batch=b, variant=variant)
+            except Exception as e:
+                print(f"variant={variant} B={b}: FAILED {e!r}", flush=True)
+    print("== layer tier 7B gate, B=1 ==", flush=True)
+    layer.run(model="7b", batch=1)
+    print("== layer tier 7B gate, B=8 ==", flush=True)
+    layer.run(model="7b", batch=8)
+
+
+if __name__ == "__main__":
+    enable_persistent_cache()
+    {"longctx": leg_longctx, "prefill": leg_prefill, "i16": leg_i16}[
+        sys.argv[1]
+    ]()

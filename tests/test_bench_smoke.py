@@ -97,6 +97,31 @@ def test_graft_entry_lowers():
     jax.jit(fn).lower(*args)  # trace + lower; raises on any graph error
 
 
+def test_best_confirmed_rejects_lone_fliers():
+    """bench.py's reported pass must be replicated by a second pass within
+    20% — a lone physically-impossible flier (observed: 9.44 µs on a kernel
+    whose derived VPU floor is 21.8 µs) must never become the headline."""
+    sys.path.insert(0, REPO)
+    try:
+        from bench import _best_confirmed
+    finally:
+        sys.path.pop(0)
+
+    nan = float("nan")
+    # The round-5 degraded session (µs → s): flier 9.44 must NOT win.
+    sess = [22.06e-6, 9.44e-6, 42.36e-6, 30.5e-6, 26.44e-6]
+    assert _best_confirmed(sess) == 22.06e-6
+    # Clean r4-style session: best pass confirmed, best-of-k behavior kept.
+    assert _best_confirmed([23.07e-6, 23.64e-6, 23.84e-6]) == 23.07e-6
+    # No two passes agree → median, not min.
+    spread = [10e-6, 20e-6, 40e-6]
+    assert _best_confirmed(spread) == 20e-6
+    # NaN (harness-refused) passes are dropped; single pass returns itself.
+    assert _best_confirmed([nan, 25e-6]) == 25e-6
+    assert _best_confirmed([nan, nan]) is None
+    assert _best_confirmed([]) is None
+
+
 def test_harness_refuses_subfloor_slopes():
     """bench_time must return NaN — never a near-zero time — when the slope
     lands below the caller's physical floor (VERDICT r4 weak #4: committed

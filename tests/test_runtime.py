@@ -139,3 +139,70 @@ def test_generate_early_eos_pads_to_promised_width(tiny):
     assert r.tokens.shape == (1, 2 + 8)
     assert int(r.lengths[0]) == 3  # prompt + the eos token
     assert np.all(np.asarray(r.tokens[0, 3:]) == eos)
+
+
+def test_chunked_prefill_matches_oneshot(tiny):
+    """make_chunked_prefill must be numerically identical to one-shot
+    prefill — same last-token logits AND same cache contents — including a
+    tail chunk shorter than the slice (T=13, chunk=4)."""
+    from tpu_lutvq.models.llama import init_caches, llama_forward
+    from tpu_lutvq.runtime.generate import make_chunked_prefill
+
+    cfg, weights = tiny
+    b, t = 2, 13
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (b, t), 0, cfg.vocab_size)
+
+    logits_1, caches_1 = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, b), jnp.int32(0),
+        logits_mode="last", **STRAT,
+    )
+    chunked = make_chunked_prefill(cfg, chunk=4, **STRAT)
+    logits_c, caches_c = chunked(weights, tokens, init_caches(cfg, b))
+
+    np.testing.assert_allclose(
+        np.asarray(logits_c), np.asarray(logits_1[:, -1]), rtol=1e-5, atol=1e-5
+    )
+    for got, want in zip(jax.tree_util.tree_leaves(caches_c),
+                         jax.tree_util.tree_leaves(caches_1)):
+        got, want = np.asarray(got), np.asarray(want)
+        if np.issubdtype(got.dtype, np.integer):
+            np.testing.assert_array_equal(got, want)
+        else:
+            # KV scales: the amax reduction fuses differently at T=13 vs
+            # T=4 slices → 1-ULP float differences; semantics identical
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_chunked_prefill_rejects_nonpositive_chunk(tiny):
+    from tpu_lutvq.runtime.generate import make_chunked_prefill
+
+    cfg, _ = tiny
+    with pytest.raises(ValueError, match="chunk"):
+        make_chunked_prefill(cfg, chunk=0)
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_batcher_chunked_admission_matches_greedy(tiny, paged):
+    """prefill_chunk admission (long prompts prefill in T-slices, then one
+    dispatch scatters the filled cache + samples token 0) must reproduce
+    individual greedy runs exactly, slab and paged."""
+    cfg, weights = tiny
+    prompts = [[1, 2, 3, 4, 5], [6, 7], [8, 9, 10, 11, 12, 13, 14]]
+    max_new = [4, 3, 4]
+
+    singles = []
+    for p, mn in zip(prompts, max_new):
+        r = generate(cfg, weights, jnp.asarray([p], jnp.int32), max_new_tokens=mn, **STRAT)
+        singles.append(np.asarray(r.tokens[0, len(p):]).tolist())
+
+    kw = dict(paged_blocks=16, paged_block_size=8) if paged else {}
+    batcher = ContinuousBatcher(
+        cfg, weights, n_slots=2, prefill_chunk=3, **kw, **STRAT
+    )
+    for i, (p, mn) in enumerate(zip(prompts, max_new)):
+        batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+    done = batcher.run()
+    assert len(done) == 3
+    by_id = {r.req_id: r.output for r in done}
+    for i in range(3):
+        assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"

@@ -66,8 +66,16 @@ def auto_choices(cfg: LlamaConfig, batch: int) -> dict:
 
 def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
                 strategy: str = "auto", interpret: bool | None = None,
-                variant: str = "auto", attn: str = "auto") -> list[dict]:
-    """Prefill tier: tokens/s processing a (batch, seq) prompt."""
+                variant: str = "auto", attn: str = "auto",
+                chunk: int = 0) -> list[dict]:
+    """Prefill tier: tokens/s processing a (batch, seq) prompt.
+
+    ``chunk`` > 0 runs the chunked prefill (T-slices of ``chunk`` tokens,
+    runtime.generate.make_chunked_prefill): activation transients scale
+    with the chunk instead of the prompt — the only way batched long
+    prompts (B=8 T=4096 at 7B) admit on one 16 GB chip
+    (artifacts/prefill_longT_r04.txt: one-shot OOMs on MLP transients
+    before attention enters the picture)."""
     from tpu_lutvq.models.llama import (
         init_stacked_caches,
         llama_forward,
@@ -97,17 +105,25 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
 
     win = bucket_window(seq, cfg.max_seq)  # don't scan cache rows past the prompt
 
-    # donate the caches: without it the input AND output cache pytrees are
-    # live across the call — 2 x 8.5 GB at B=8 T=4096 7B, an HBM OOM before
-    # any score transient enters the picture
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def prefill(weights, tokens, caches):
-        logits, caches = llama_forward(
-            cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
-            interpret=interpret, window=win, variant=variant, attn=attn,
-            logits_mode="last",  # (B, T, vocab) f32 is 4.2 GB at B=8 T=4096
+    if chunk > 0:
+        from tpu_lutvq.runtime.generate import make_chunked_prefill
+
+        prefill = make_chunked_prefill(
+            cfg, chunk=chunk, strategy=strategy, interpret=interpret,
+            variant=variant, attn=attn,
         )
-        return logits[:, -1], caches
+    else:
+        # donate the caches: without it the input AND output cache pytrees
+        # are live across the call — 2 x 8.5 GB at B=8 T=4096 7B, an HBM OOM
+        # before any score transient enters the picture
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill(weights, tokens, caches):
+            logits, caches = llama_forward(
+                cfg, weights, tokens, caches, jnp.int32(0), strategy=strategy,
+                interpret=interpret, window=win, variant=variant, attn=attn,
+                logits_mode="last",  # (B, T, vocab) f32 = 4.2 GB at B=8 T=4096
+            )
+            return logits[:, -1], caches
 
     out, caches = prefill(weights, tokens, caches)
     float(out[0, 0])
@@ -117,11 +133,12 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
     dt = time.perf_counter() - t0
     row = {
         "model": model, "batch": batch, "seq": seq, "strategy": strategy,
-        "variant": variant, "attn": attn,
+        "variant": variant, "attn": attn, "chunk": chunk,
         "prefill_ms": round(dt * 1e3, 1),
         "prefill_tokens_per_s": round(batch * seq / dt, 1),
     }
-    print(f"{model} prefill B={batch} T={seq} [{strategy}/{variant}/{attn}]: "
+    ck = f" chunk={chunk}" if chunk else ""
+    print(f"{model} prefill B={batch} T={seq} [{strategy}/{variant}/{attn}]{ck}: "
           f"{row['prefill_ms']} ms, {row['prefill_tokens_per_s']} tok/s")
     return [row]
 
@@ -251,6 +268,9 @@ if __name__ == "__main__":
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--prefill", type=int, default=0, help="prefill bench with this seq len")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="chunked prefill: T-slice size (0 = one-shot); "
+                         "bounds activation transients for long prompts")
     ap.add_argument("--ctx", type=int, default=0,
                     help="long-context decode: cache depth (decode the last "
                          "`steps` positions of a ctx-deep cache)")
@@ -261,7 +281,7 @@ if __name__ == "__main__":
     if args.prefill:
         rows = run_prefill(args.model, args.batch, args.prefill, args.strategy,
                            args.interpret or None, variant=args.variant,
-                           attn=args.attn)
+                           attn=args.attn, chunk=args.chunk)
     else:
         rows = run(args.model, args.batch, args.steps, args.strategy,
                    args.interpret or None, scan_layers=args.scan,

@@ -53,6 +53,28 @@ def run(model: str = "7b", batch: int = 1, proj: str = "gate_proj",
     results["dequant_mm_i8"] = bench_time(
         lambda x: dequant_matmul(cfg, packed, x, tables="i8"), x, n=64
     )
+    # int16-table tier (reference epi16, VecProductQuantizer.h:2369-2730):
+    # exact int32 MXU accumulate over offset-flipped byte rows
+    results["lut_gemv_i16"] = bench_time(
+        lambda x: lut_gemv(cfg, packed, x, variant="i16"), x, n=64
+    )
+    # 1x16 exact-at-footprint tier (models/linear.py ChunkedVQLinear): the
+    # "dense-bf16-class speed" claim, measured instead of asserted
+    from tpu_lutvq.models.linear import ChunkedVQLinear
+
+    n_groups = d_in // 8
+    x16 = ChunkedVQLinear(
+        codes=jax.random.randint(
+            jax.random.PRNGKey(3), (d_out, n_groups, 1), 0, 65536, jnp.int32
+        ).astype(jnp.uint16),
+        codebooks=jax.random.normal(
+            jax.random.PRNGKey(4), (1, 1, 65536, 8), jnp.bfloat16
+        ),
+        scales=None,
+    )
+    results["chunked_1x16"] = bench_time(
+        lambda x: x16.apply(None, x), x, n=16
+    )
 
     auto = pick_strategy(cfg, d_out, batch)
     rows = []

@@ -19,7 +19,7 @@ from tpu_lutvq.bench.harness import bench_time, write_csv
 from tpu_lutvq.core.config import VQConfig, aqlm_2x8, tmac
 from tpu_lutvq.core.params import init_vq_params
 from tpu_lutvq.dataflow.chips import CHIPS
-from tpu_lutvq.dataflow.traffic import cost_lut_gemv
+from tpu_lutvq.dataflow.traffic import SWEEP_STRATEGIES, cost_lut_gemv
 from tpu_lutvq.kernels import lut_gemv, pack_params
 
 
@@ -43,7 +43,10 @@ def run(d_out: int = 28672, batch: int = 1, chip_name: str = "v5e",
             lambda x: lut_gemv(cfg, packed, x, variant=variant), x, n=128
         )
         n_lookups = batch * d_out * cfg.n_groups
-        pred = cost_lut_gemv(cfg, d_out, batch)
+        # predict with the variant's own cost row (i8/i16 have their own
+        # op-rate constants; everything else is the pair/bpair model)
+        cost_fn = SWEEP_STRATEGIES.get(f"lut_gemv_{variant}", cost_lut_gemv)
+        pred = cost_fn(cfg, d_out, batch)
         rows.append(
             {
                 "case": name,

@@ -35,6 +35,13 @@ _OPS_PER_CODE_K128_BPAIR = 6.0  # per token pair (single gather, no select)
 # 143.6 µs B=8 on 4096² → ~8.2 ops/code per pair), 4 at K≤128 (estimate)
 _OPS_PER_CODE_K256_I8PAIR = 8.2
 _OPS_PER_CODE_K128_I8QUAD = 6.0  # per token QUAD
+# int16-table variant (variant='i16'): 1 token/gather-word at K=256 (the
+# varshift selects the K-half), 2 at K≤128.  Same gather/prep skeleton as
+# i8 plus the two-selector hi/lo reconstruct (the dots ride the MXU; the
+# ×256 + offset-add float fixup is ~3 extra VPU ops per 128-lane tile).
+# Estimates pending hardware calibration (VERDICT r4 item 5).
+_OPS_PER_CODE_K256_I16 = 8.5  # per token (one word serves ONE token)
+_OPS_PER_CODE_K128_I16PAIR = 7.0  # per token PAIR
 _OPS_PER_CODE_SHARED = 0.0
 # dequant_mm v2 (MXU-folded N-sum, no scratch): per code, batch-amortized;
 # recalibrated against the measured sweep (artifacts/dataflow_sweep.csv:
@@ -240,17 +247,53 @@ def cost_dense_bf16(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
     )
 
 
+def cost_lut_gemv_i16(cfg: VQConfig, d_out: int, batch: int) -> KernelCost:
+    """int16-table lookup variant (lut_gemv variant='i16'): the reference's
+    epi16 precision tier (VecProductQuantizer.h:2369-2730).  One gather word
+    carries one token at K=256 (two byte rows per entry + the varshift
+    K-half select) or two at K≤128; the hi/lo reconstruct dots ride the MXU.
+    Sweep row only — precision sits between i8 and exact bf16-pair, so
+    selecting it is a precision decision (same policy as lut_gemv_i8)."""
+    codes, inp, psum, codebook = _base_traffic(cfg, d_out, batch)
+    kp = max(cfg.n_cluster, 128)
+    n_codes = d_out * cfg.n_groups
+    wide = cfg.n_cluster > 128
+    tpw = 1 if wide else 2  # tokens per gather word
+    groups = (batch + tpw - 1) // tpw
+    tab_lanes = 128 if wide else kp
+    lut_bytes = 2.0 * groups * cfg.n_groups * tab_lanes * 4
+    per_group = _OPS_PER_CODE_K256_I16 if wide else _OPS_PER_CODE_K128_I16PAIR
+    vpu = n_codes * per_group * groups
+    mxu = 2 * batch * cfg.lut_entries * cfg.d_subvec  # LUT build
+    mxu += 2 * 2 * batch * d_out * cfg.n_groups  # TWO int8 selector-reduces
+    vmem = groups * cfg.n_groups * tab_lanes * 4 + 2 * cfg.n_groups * 1024
+    return KernelCost(
+        "lut_gemv_i16",
+        {
+            "codeword": codes,
+            "codebook": codebook,
+            "lut": lut_bytes,
+            "inp": inp,
+            "psum": psum,
+        },
+        vpu,
+        mxu,
+        vmem,
+    )
+
+
 STRATEGIES = {
     "lut_gemv": cost_lut_gemv,
     "dequant_mm": cost_dequant_mm,
     "dense_bf16": cost_dense_bf16,
 }
 
-# strategy rows for the sweep/calibration loop; the i8 rows are excluded
+# strategy rows for the sweep/calibration loop; the i8/i16 rows are excluded
 # from pick_strategy (precision-changing — see cost_lut_gemv_i8)
 SWEEP_STRATEGIES = {
     **STRATEGIES,
     "lut_gemv_i8": cost_lut_gemv_i8,
+    "lut_gemv_i16": cost_lut_gemv_i16,
     "dequant_mm_i8": cost_dequant_i8,
 }
 

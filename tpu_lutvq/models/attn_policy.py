@@ -57,6 +57,17 @@ FLASH_CROSSOVER_PAGED = 512
 # number is the one serving pays, so auto gates flash on B >= 2.
 MIN_BATCH_FOR_FLASH_SLAB = 2
 
+# Prefill (T > 1): XLA wins or ties ON TIME everywhere measured, but its
+# (B, H, T, W) f32 score + prob transients are materialized in HBM — at
+# 7B B=2 T=8192 that alone is 2 × 17 GB and the compile OOMs outright
+# (artifacts/prefill_longT_r04.txt).  Above this transient budget auto
+# switches to the tiled flash-prefill kernel (scores never leave VMEM);
+# below it XLA keeps the measured time win.  2 GiB: well under the
+# ~4-5 GB headroom a 7B serving footprint leaves on a 16 GB chip, while
+# every shape XLA was measured to win (≤ B=4 T=1024 W=1024: 1.1 GiB)
+# stays under it.
+XLA_PREFILL_TRANSIENT_BUDGET = 2 * 1024**3
+
 
 def resolve_attn(
     attn: str,
@@ -65,16 +76,23 @@ def resolve_attn(
     window: int,
     t: int = 1,
     paged: bool = False,
+    heads: int = 0,
 ) -> str:
     """Resolve "auto" to "flash" | "xla" (idempotent for concrete values).
 
     All inputs are trace-time static (batch/window stamp the jit program;
     bucketed windows recompile per bucket, so auto re-resolves per bucket
-    — exactly like resolve_variant re-resolving per batch).
+    — exactly like resolve_variant re-resolving per batch).  ``heads``
+    (query heads) sizes the prefill transient estimate; 0 keeps the
+    legacy always-XLA prefill resolution.
     """
     if attn != "auto":
         return attn
     if t > 1:
+        # prefill: XLA until its HBM score transient would OOM the chip
+        transient = 2 * 4 * batch * heads * t * window  # score + prob, f32
+        if heads > 0 and transient > XLA_PREFILL_TRANSIENT_BUDGET:
+            return "flash"
         return "xla"
     if not paged and batch < MIN_BATCH_FOR_FLASH_SLAB:
         return "xla"

@@ -240,7 +240,9 @@ def _attention(
     b, t, nh, dh = q.shape
     if window is None:
         window = cache.max_seq
-    attn = resolve_attn(attn, batch=b, window=window, t=t, paged=False)
+    attn = resolve_attn(
+        attn, batch=b, window=window, t=t, paged=False, heads=cfg.n_heads
+    )
     if t == 1 and attn == "flash":
         from tpu_lutvq.kernels.flash_decode import flash_decode_attention
 
@@ -367,7 +369,7 @@ def _block(
         cache = update_cache_stacked(caches_all, li, k, v, pos)
         w = window if window is not None else cache.k_q.shape[3]
         attn_r = resolve_attn(attn, batch=b, window=min(w, cache.k_q.shape[3]),
-                              t=t, paged=False)
+                              t=t, paged=False, heads=cfg.n_heads)
         if t == 1 and attn_r == "flash" and cfg.head_dim >= 128:
             # decode flash reads the STACKED int8 planes directly (layer=
             # scalar-prefetch BlockSpec offset) — slicing the layer out to

@@ -64,6 +64,7 @@ class ContinuousBatcher:
         paged_cache_factory=None,
         attn: str = "auto",
         quality: str = "exact",
+        prefill_chunk: Optional[int] = None,
     ):
         """prefill_fn/step_fn/cache_factory override the device programs —
         pass ``make_tp_prefill(...)`` / ``make_tp_decode_step(...)`` /
@@ -83,7 +84,15 @@ class ContinuousBatcher:
         forwarded to every projection: under "fast", strategy="auto" at
         batch scale serves the W8A8 i8 quad-table weight path
         (throughput/precision trade measured in
-        artifacts/i8_quality_r04.txt)."""
+        artifacts/i8_quality_r04.txt).
+
+        ``prefill_chunk``: admission prompts longer than this run the
+        chunked prefill (runtime.generate.make_chunked_prefill) — the
+        prompt is processed in T-slices so activation transients stay
+        bounded, then the filled B=1 cache is scattered into the slot and
+        the first token sampled in one dispatch.  Short prompts keep the
+        fused single-dispatch admission.  Default-program route only
+        (a TP deployment passes its own chunked prefill_fn)."""
         self.cfg = cfg
         self.weights = weights
         self.n_slots = n_slots
@@ -148,6 +157,50 @@ class ContinuousBatcher:
         )
         self._windowed = step_fn is None
         self._sample = jax.jit(sample_logits_vec)
+        # chunked admission (long prompts, default device programs only):
+        # the prompt prefills in T-slices (bounded activation transients —
+        # one-shot B=8 T=4096 7B prefill OOMs a 16 GB chip on MLP
+        # transients alone), then ONE dispatch scatters the filled B=1
+        # cache into the slot and samples the first token.
+        self._prefill_chunk = prefill_chunk
+        self._chunked_prefill = None
+        self._write_slot_sample = None
+        self._write_paged_sample = None
+        if prefill_chunk is not None and prefill_fn is None and step_fn is None:
+            from tpu_lutvq.runtime.generate import make_chunked_prefill
+
+            self._chunked_prefill = make_chunked_prefill(
+                cfg, chunk=prefill_chunk, strategy=strategy,
+                interpret=interpret, attn=attn, quality=quality,
+            )
+            if self.paged:
+                def write_paged_sample(caches, small, slot, table_row,
+                                       logits, temp, key, t0):
+                    new = []
+                    for pc, sc in zip(caches, small):
+                        pc = pc._replace(
+                            block_tables=pc.block_tables.at[slot].set(table_row)
+                        )
+                        new.append(pc.write_slot(sc, slot, t0))
+                    tok = sample_logits_vec(logits, key, temp[None])
+                    return tok[0], tuple(new)
+
+                self._write_paged_sample = jax.jit(
+                    write_paged_sample, donate_argnums=(0,),
+                    static_argnames=("t0",),
+                )
+            else:
+                def write_slot_sample(caches, small, slot, logits, temp, key):
+                    caches = tuple(
+                        write_cache_slot(big, s, slot)
+                        for big, s in zip(caches, small)
+                    )
+                    tok = sample_logits_vec(logits, key, temp[None])
+                    return tok[0], caches
+
+                self._write_slot_sample = jax.jit(
+                    write_slot_sample, donate_argnums=(0,)
+                )
         # fused admission (default device programs only): B=1 prefill +
         # per-layer slot scatter + first-token sample in ONE dispatch.  The
         # unfused route paid one dispatch per layer for the cache scatter —
@@ -313,6 +366,10 @@ class ContinuousBatcher:
             req = self.pending.pop(0)
             prompt = jnp.asarray([req.prompt], jnp.int32)  # (1, T0)
             self.key, sub = jax.random.split(self.key)
+            use_chunked = (
+                self._chunked_prefill is not None
+                and len(req.prompt) > self._prefill_chunk
+            )
             if self.paged:
                 t0 = len(req.prompt)
                 need = min(
@@ -329,6 +386,20 @@ class ContinuousBatcher:
                 self._slot_capacity[slot] = len(blocks) * self._bs
                 table_row = np.zeros(self._max_blocks, np.int32)
                 table_row[: len(blocks)] = blocks
+                if use_chunked and self._write_paged_sample is not None:
+                    small = init_caches(self.cfg, 1)
+                    logits, small = self._chunked_prefill(
+                        self.weights, prompt, small
+                    )
+                    tok_dev, self.caches = self._write_paged_sample(
+                        self.caches, small, jnp.int32(slot),
+                        jnp.asarray(table_row), logits,
+                        jnp.float32(req.temperature), sub, t0=t0,
+                    )
+                    self.active[slot] = req
+                    self.slot_pos[slot] = len(req.prompt) + 1
+                    deferred.append((slot, req, tok_dev))
+                    continue
                 if self._admit_paged is not None:
                     tok_dev, self.caches = self._admit_paged(
                         self.weights, prompt, self.caches, jnp.int32(slot),
@@ -349,6 +420,19 @@ class ContinuousBatcher:
                         jnp.asarray(table_row), t0=t0,
                     )
                     tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
+            elif use_chunked and self._write_slot_sample is not None:
+                small = init_caches(self.cfg, 1)
+                logits, small = self._chunked_prefill(
+                    self.weights, prompt, small
+                )
+                tok_dev, self.caches = self._write_slot_sample(
+                    self.caches, small, jnp.int32(slot), logits,
+                    jnp.float32(req.temperature), sub,
+                )
+                self.active[slot] = req
+                self.slot_pos[slot] = len(req.prompt) + 1
+                deferred.append((slot, req, tok_dev))
+                continue
             elif self._admit_fused is not None:
                 tok_dev, self.caches = self._admit_fused(
                     self.weights, prompt, self.caches, jnp.int32(slot),

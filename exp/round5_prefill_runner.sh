@@ -1,0 +1,16 @@
+#!/bin/bash
+# one process per row: a prior run's buffers must not decide OOM-or-not
+cd /root/repo
+for case in "8 4096 1024" "8 4096 2048" "4 8192 1024" "8 1024 0" "8 1024 1024"; do
+  set -- $case
+  timeout 900 python -c "
+import sys; sys.path.insert(0, '.')
+from tpu_lutvq.bench.e2e import run_prefill
+from tpu_lutvq.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+try:
+    run_prefill(model='7b', batch=$1, seq=$2, attn='auto', chunk=$3)
+except Exception as e:
+    print(f'7b prefill B=$1 T=$2 chunk=$3: FAILED {e!r}', flush=True)
+" 2>&1 | grep -v WARNING
+done

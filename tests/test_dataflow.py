@@ -5,6 +5,7 @@ import os
 from tpu_lutvq.core.config import aqlm_2x8, VQConfig
 from tpu_lutvq.dataflow import CHIPS, estimate, pick_strategy, run_sweep
 from tpu_lutvq.dataflow.traffic import (
+    SWEEP_STRATEGIES,
     cost_dense_bf16,
     cost_dequant_mm,
     cost_lut_gemv,
@@ -85,7 +86,8 @@ def test_1x16_routed_to_dense():
 def test_sweep_runs_and_writes_csv(tmp_path):
     path = os.path.join(tmp_path, "sweep.csv")
     rows = run_sweep(out_path=path)
-    assert len(rows) == 8 * 5  # 3 auto strategies + the two i8 sweep rows
+    # 3 auto strategies + the i8 pair and the i16 sweep rows
+    assert len(rows) == 8 * len(SWEEP_STRATEGIES)
     assert os.path.exists(path)
     header = open(path).readline()
     assert "Codeword_MB" in header and "Roofline_frac" in header

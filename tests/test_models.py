@@ -262,3 +262,39 @@ def test_quality_budget_routes_tables(tiny_model):
     # i8 quantizes TABLE entries (int8 + per-word scales): close, not equal
     err = float(jnp.abs(exact - fast).max() / (jnp.abs(exact).max() + 1e-9))
     assert err < 0.05, err
+
+
+def test_llama_hybrid_stacked_kv_matches_loop(tiny_model):
+    """HYBRID mode (per-layer weight buffers + ONE stacked cache) must equal
+    the per-layer-tuple loop path — prefill then decode.  This is the B=1
+    serving mode: flash reads the stacked int8 planes in place instead of
+    through the whole-buffer operand copies XLA inserts around the pallas
+    call when each layer's cache is a separate leaf
+    (artifacts/b1_flash_hlo_7b_r05.txt)."""
+    from tpu_lutvq.models.llama import init_stacked_caches
+
+    cfg, weights = tiny_model
+    assert cfg.n_layers > 1  # hybrid dispatch requires per-layer weights
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (2, 5), 0, cfg.vocab_size)
+
+    l1, caches1 = llama_forward(
+        cfg, weights, tokens, init_caches(cfg, 2), jnp.int32(0),
+        strategy="dequant_mm", interpret=True,
+    )
+    l2, caches2 = llama_forward(
+        cfg, weights, tokens, init_stacked_caches(cfg, 2), jnp.int32(0),
+        strategy="dequant_mm", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+    assert caches2.k_q.shape[0] == cfg.n_layers  # one stacked container
+
+    step = jax.random.randint(jax.random.PRNGKey(9), (2, 1), 0, cfg.vocab_size)
+    d1, _ = llama_forward(
+        cfg, weights, step, caches1, jnp.int32(5),
+        strategy="dequant_mm", interpret=True, window=cfg.max_seq,
+    )
+    d2, _ = llama_forward(
+        cfg, weights, step, caches2, jnp.int32(5),
+        strategy="dequant_mm", interpret=True, window=cfg.max_seq,
+    )
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)

@@ -206,3 +206,39 @@ def test_batcher_chunked_admission_matches_greedy(tiny, paged):
     by_id = {r.req_id: r.output for r in done}
     for i in range(3):
         assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"
+
+
+def test_batcher_stacked_kv_matches_greedy(tiny):
+    """stacked_kv serving (hybrid mode: one stacked cache container) must
+    reproduce individual greedy runs exactly — including chunked admission
+    of a long prompt into the stacked slab."""
+    cfg, weights = tiny
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8, 9, 10], [6, 7]]
+    max_new = [4, 3, 3]
+
+    singles = []
+    for p, mn in zip(prompts, max_new):
+        r = generate(cfg, weights, jnp.asarray([p], jnp.int32), max_new_tokens=mn, **STRAT)
+        singles.append(np.asarray(r.tokens[0, len(p):]).tolist())
+
+    batcher = ContinuousBatcher(
+        cfg, weights, n_slots=2, stacked_kv=True, prefill_chunk=4, **STRAT
+    )
+    for i, (p, mn) in enumerate(zip(prompts, max_new)):
+        batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+    done = batcher.run()
+    assert len(done) == 3
+    by_id = {r.req_id: r.output for r in done}
+    for i in range(3):
+        assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"
+
+
+def test_batcher_stacked_kv_rejects_paged_and_tp():
+    cfg = LlamaConfig.tiny(n_layers=1, max_seq=32)
+    weights = init_llama(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="slab"):
+        ContinuousBatcher(cfg, weights, n_slots=2, stacked_kv=True,
+                          paged_blocks=8)
+    with pytest.raises(ValueError, match="injected"):
+        ContinuousBatcher(cfg, weights, n_slots=2, stacked_kv=True,
+                          step_fn=lambda *a, **k: None)

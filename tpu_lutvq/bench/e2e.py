@@ -147,13 +147,20 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
         strategy: str = "auto", interpret: bool | None = None,
         scan_layers: bool = False, variant: str = "auto",
         attn: str = "auto", ctx: int = 0,
-        quality: str = "exact") -> list[dict]:
+        quality: str = "exact", stacked_kv: bool | None = None) -> list[dict]:
     """scan_layers=False (default): python-loop layer execution — each
     layer's weights are persistent buffers passed straight to the kernels.
     lax.scan over stacked weights must materialize a per-layer weight-slice
     copy every step (Pallas operands cannot alias a dynamic-slice): measured
     ~65 us/layer at 7B — 12.1 vs 9.44 ms/step.  Scan remains the
-    fast-compile option (one layer body vs L inlined copies)."""
+    fast-compile option (one layer body vs L inlined copies).
+
+    stacked_kv=True with scan_layers=False is the HYBRID mode (per-layer
+    weight buffers + one stacked cache): flash decode reads the int8 planes
+    in place instead of through the whole-buffer operand copies XLA wraps
+    around the pallas call when each layer's cache is a separate carried
+    leaf (artifacts/b1_flash_hlo_7b_r05.txt).  Default: follows
+    scan_layers."""
     from tpu_lutvq.models.llama import init_stacked_caches, stack_llama_weights
 
     model_kw = dict(MODELS[model])
@@ -177,7 +184,13 @@ def run(model: str = "tiny", batch: int = 1, steps: int = 32,
 
     weights = build(jax.random.PRNGKey(0))
     jax.tree.leaves(weights)[0].block_until_ready()
-    caches = init_stacked_caches(cfg, batch) if scan_layers else init_caches(cfg, batch)
+    if stacked_kv is None:
+        stacked_kv = scan_layers
+    caches = (
+        init_stacked_caches(cfg, batch)
+        if (scan_layers or stacked_kv)
+        else init_caches(cfg, batch)
+    )
     print(f"init: {time.perf_counter() - t0:.1f}s")
     tokens = jnp.zeros((batch,), jnp.int32)
 
@@ -267,6 +280,9 @@ if __name__ == "__main__":
                     help="lax.scan layer execution (fast compile, slower steps)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--stacked-kv", action="store_true",
+                    help="hybrid decode: per-layer weight buffers + one "
+                         "stacked KV cache (in-place flash plane reads)")
     ap.add_argument("--prefill", type=int, default=0, help="prefill bench with this seq len")
     ap.add_argument("--chunk", type=int, default=0,
                     help="chunked prefill: T-slice size (0 = one-shot); "
@@ -286,7 +302,8 @@ if __name__ == "__main__":
         rows = run(args.model, args.batch, args.steps, args.strategy,
                    args.interpret or None, scan_layers=args.scan,
                    variant=args.variant, attn=args.attn, ctx=args.ctx,
-                   quality=args.quality)
+                   quality=args.quality,
+                   stacked_kv=args.stacked_kv or None)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

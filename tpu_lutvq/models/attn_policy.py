@@ -46,15 +46,20 @@ from __future__ import annotations
 # off the interpret-mode kernel path).
 FLASH_CROSSOVER_SLAB = 1024
 FLASH_CROSSOVER_PAGED = 512
-# B=1 slab decode: the STANDALONE kernel wins at B=1 (W=4096: 51 vs
-# 89.5 µs) but END-TO-END inside the 32-layer 7B decode step flash LOSES
-# at B=1 (ctx=4096: 61.1 vs 79.6 tok/s; ctx=8192: 44.8 vs 61.6 —
-# artifacts/longctx_r04.txt): ~120 µs/layer of in-model overhead
-# (operand relayout/copies feeding the pallas call after the cache
-# scatter, vs the einsum path fusing straight through) that the isolated
-# probe never pays.  At B>=4 the e2e measurements flip to flash
-# (B=4 ctx=8192: 85.6 vs 72.7 tok/s), matching the probe.  The e2e
-# number is the one serving pays, so auto gates flash on B >= 2.
+# B=1 slab decode with PER-LAYER TUPLE caches: flash loses e2e (7B
+# ctx=4096: 60.7 vs 76.9 tok/s; ctx=8192: 44.6 vs 64.7 —
+# artifacts/longctx_r05.txt, re-measured post the stacked-cache fix).
+# Root cause (artifacts/b1_flash_hlo_7b_r05.txt, 7B HLO diff): with each
+# layer's cache a separate carried leaf, XLA wraps the pallas call's int8
+# cache operands in whole-buffer async copies inside the decode body
+# (2 × 16.8 MB × 32 layers at ctx=4096) that the fully-fusable einsum
+# path never pays.  The fix is not a kernel change but a CONTAINER
+# change: the hybrid mode (one stacked (L, ...) cache + per-layer weight
+# buffers, llama_forward) feeds flash the plane in place and WINS B=1
+# (87.4 vs 79.1 tok/s at ctx=4096; 73.6 vs 68.1 at 8192 —
+# artifacts/longctx_hybrid_r05.txt).  This gate therefore applies ONLY
+# to tuple-cache decode (resolve_attn(stacked=False)); stacked/hybrid
+# decode serves flash at every batch past the B*W crossover.
 MIN_BATCH_FOR_FLASH_SLAB = 2
 
 # Prefill (T > 1): XLA wins or ties ON TIME everywhere measured, but its
@@ -77,6 +82,7 @@ def resolve_attn(
     t: int = 1,
     paged: bool = False,
     heads: int = 0,
+    stacked: bool = False,
 ) -> str:
     """Resolve "auto" to "flash" | "xla" (idempotent for concrete values).
 
@@ -84,7 +90,12 @@ def resolve_attn(
     bucketed windows recompile per bucket, so auto re-resolves per bucket
     — exactly like resolve_variant re-resolving per batch).  ``heads``
     (query heads) sizes the prefill transient estimate; 0 keeps the
-    legacy always-XLA prefill resolution.
+    legacy always-XLA prefill resolution.  ``stacked`` = the decode kernel
+    reads a stacked (L, ...) cache plane in place (hybrid/scan modes): the
+    MIN_BATCH gate does not apply there — the B=1 e2e loss it guards
+    against is the tuple-cache operand copies, and hybrid flash WINS B=1
+    (7B ctx=4096: 87.4 vs 79.1 tok/s; ctx=8192: 73.6 vs 68.1 —
+    artifacts/longctx_hybrid_r05.txt).
     """
     if attn != "auto":
         return attn
@@ -94,7 +105,7 @@ def resolve_attn(
         if heads > 0 and transient > XLA_PREFILL_TRANSIENT_BUDGET:
             return "flash"
         return "xla"
-    if not paged and batch < MIN_BATCH_FOR_FLASH_SLAB:
+    if not paged and not stacked and batch < MIN_BATCH_FOR_FLASH_SLAB:
         return "xla"
     threshold = FLASH_CROSSOVER_PAGED if paged else FLASH_CROSSOVER_SLAB
     return "flash" if batch * window >= threshold else "xla"

@@ -169,6 +169,30 @@ def slice_layer_window(caches_all: KVCache, li: jax.Array, window: int) -> KVCac
     )
 
 
+def write_cache_slot_stacked(
+    big: KVCache, small: KVCache, slot: int | jax.Array
+) -> KVCache:
+    """Copy a stacked single-sequence cache (leaves (L, 1, H, S', …)) into
+    slot ``slot`` of a stacked batched cache (leaves (L, B, H, S, …)) — the
+    hybrid-mode analog of :func:`write_cache_slot`, all layers in ONE
+    scatter."""
+    slot = jnp.asarray(slot, jnp.int32)
+    z = jnp.zeros((), jnp.int32)
+    t = small.k_q.shape[3]
+    s = big.k_q.shape[3]
+    assert t <= s
+    pad = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, 0), (0, s - t)) + ((0, 0),) * (x.ndim - 4)
+    )
+    dus = jax.lax.dynamic_update_slice
+    return KVCache(
+        k_q=dus(big.k_q, pad(small.k_q), (z, slot, z, z, z)),
+        v_q=dus(big.v_q, pad(small.v_q), (z, slot, z, z, z)),
+        k_scale=dus(big.k_scale, pad(small.k_scale), (z, slot, z, z)),
+        v_scale=dus(big.v_scale, pad(small.v_scale), (z, slot, z, z)),
+    )
+
+
 def write_cache_slot(big: KVCache, small: KVCache, slot: int | jax.Array) -> KVCache:
     """Copy a single-sequence cache (B=1) into slot ``slot`` of a batched
     cache (continuous batching admission)."""

@@ -369,7 +369,8 @@ def _block(
         cache = update_cache_stacked(caches_all, li, k, v, pos)
         w = window if window is not None else cache.k_q.shape[3]
         attn_r = resolve_attn(attn, batch=b, window=min(w, cache.k_q.shape[3]),
-                              t=t, paged=False, heads=cfg.n_heads)
+                              t=t, paged=False, heads=cfg.n_heads,
+                              stacked=True)
         if t == 1 and attn_r == "flash" and cfg.head_dim >= 128:
             # decode flash reads the STACKED int8 planes directly (layer=
             # scalar-prefetch BlockSpec offset) — slicing the layer out to
@@ -457,11 +458,16 @@ def llama_forward(
     dims in ``cfg`` must be the per-device locals; row-parallel projections
     are psum-reduced over the axis.
 
-    Two execution modes, selected by the cache container:
+    Three execution modes, selected by the containers:
     - caches = tuple of per-layer KVCache → python loop (weights.layers is
       the per-layer tuple);
-    - caches = one stacked KVCache (layer axis leading) → ``lax.scan`` over
-      the stacked weights from :func:`stack_llama_weights` (fast compiles).
+    - caches = one stacked KVCache + stacked weights (a 1-tuple from
+      :func:`stack_llama_weights`) → ``lax.scan`` (fast compiles);
+    - caches = one stacked KVCache + per-layer weights (>1 entries) →
+      HYBRID: python loop over persistent weight buffers, flash decode
+      reading the stacked int8 planes in place — the B=1 serving mode
+      (neither scan's weight-slice copies nor the tuple-cache pallas
+      operand copies; artifacts/longctx_r05.txt).
 
     Returns (logits (B, T, vocab) float32, updated caches — same container).
     """
@@ -469,11 +475,31 @@ def llama_forward(
     if pos.ndim == 0:
         pos = jnp.full((tokens.shape[0],), pos, jnp.int32)
     x = weights.embed[tokens].astype(jnp.float32)
-    if isinstance(caches, KVCache):  # scan mode
-        if len(weights.layers) != 1:
-            raise ValueError(
-                "stacked caches require stacked weights (stack_llama_weights)"
+    # stacked-vs-per-layer weights are told apart by leaf RANK (attn_norm is
+    # (hidden,) per layer, (L, hidden) stacked) — len(layers)==1 is ambiguous
+    # for a 1-layer model
+    weights_stacked = (
+        len(weights.layers) == 1 and weights.layers[0].attn_norm.ndim == 2
+    )
+    if isinstance(caches, KVCache) and not weights_stacked:
+        # HYBRID mode: per-layer weight buffers (python loop — no per-step
+        # weight-slice copies) + ONE stacked cache (flash reads the int8
+        # planes in place via the layer-offset BlockSpec).  Motivation
+        # (artifacts/longctx_scan_r05.txt + b1_flash_hlo_7b_r05.txt): with
+        # per-layer tuple caches, XLA wraps the pallas custom-call operands
+        # in whole-buffer async copies inside the decode body (2×16.8 MB ×
+        # 32 layers at 7B ctx=4096 — flash lost B=1 e2e by 21-31% for two
+        # rounds); with the stacked carry those copies vanish, but scan
+        # weights cost ~65 µs/layer in slice copies.  This mode pays
+        # neither.
+        new_caches = caches
+        for li, lw in enumerate(weights.layers):
+            x, new_caches = _block(
+                cfg, lw, x, None, pos, strategy, interpret, axis_name,
+                window, attn, collective, axis_size, variant, quality,
+                stacked=(new_caches, jnp.int32(li)),
             )
+    elif isinstance(caches, KVCache):  # scan mode
         stacked = weights.layers[0]
 
         # The stacked cache rides the scan CARRY, indexed by layer, so XLA

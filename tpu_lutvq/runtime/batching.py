@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_lutvq.models.kv_cache import write_cache_slot
+from tpu_lutvq.models.kv_cache import write_cache_slot, write_cache_slot_stacked
 from tpu_lutvq.models.llama import (
     LlamaConfig,
     LlamaWeights,
@@ -65,6 +65,7 @@ class ContinuousBatcher:
         attn: str = "auto",
         quality: str = "exact",
         prefill_chunk: Optional[int] = None,
+        stacked_kv: bool = False,
     ):
         """prefill_fn/step_fn/cache_factory override the device programs —
         pass ``make_tp_prefill(...)`` / ``make_tp_decode_step(...)`` /
@@ -92,7 +93,15 @@ class ContinuousBatcher:
         bounded, then the filled B=1 cache is scattered into the slot and
         the first token sampled in one dispatch.  Short prompts keep the
         fused single-dispatch admission.  Default-program route only
-        (a TP deployment passes its own chunked prefill_fn)."""
+        (a TP deployment passes its own chunked prefill_fn).
+
+        ``stacked_kv``: serve the slab cache as ONE stacked (L, B, H, S, …)
+        container (llama_forward hybrid mode) — flash decode reads the int8
+        planes in place instead of through the whole-buffer operand copies
+        XLA inserts around the pallas call when each layer's cache is a
+        separate leaf (artifacts/b1_flash_hlo_7b_r05.txt; hybrid won every
+        measured B=1 long-context point, longctx_hybrid_r05.txt).
+        Default-program slab route only."""
         self.cfg = cfg
         self.weights = weights
         self.n_slots = n_slots
@@ -101,6 +110,11 @@ class ContinuousBatcher:
         self.active: list[Optional[Request]] = [None] * n_slots
         self.slot_pos = np.zeros(n_slots, np.int32)  # next write position
         self.paged = paged_blocks is not None
+        if stacked_kv and self.paged:
+            raise ValueError(
+                "stacked_kv applies to the slab cache; the paged pool is "
+                "already a per-layer pool container"
+            )
         if self.paged:
             if (prefill_fn is not None or step_fn is not None) and (
                 paged_cache_factory is None
@@ -136,9 +150,20 @@ class ContinuousBatcher:
             # partial so the small cache is head-sharded like the pools)
             self._cache_factory = cache_factory or init_caches
         else:
+            if stacked_kv:
+                if cache_factory is not None or prefill_fn is not None \
+                        or step_fn is not None:
+                    raise ValueError(
+                        "stacked_kv is the default-program slab route; "
+                        "injected (TP) programs bring their own caches"
+                    )
+                from tpu_lutvq.models.llama import init_stacked_caches
+
+                cache_factory = init_stacked_caches
             cache_factory = cache_factory or init_caches
             self._cache_factory = cache_factory
             self.caches = cache_factory(cfg, n_slots)
+        self._stacked_kv = stacked_kv and not self.paged
         self.key = jax.random.PRNGKey(seed)
         self._prefill = prefill_fn or jax.jit(
             functools.partial(llama_forward, cfg, strategy=strategy,
@@ -190,11 +215,16 @@ class ContinuousBatcher:
                     static_argnames=("t0",),
                 )
             else:
+                stacked = self._stacked_kv
+
                 def write_slot_sample(caches, small, slot, logits, temp, key):
-                    caches = tuple(
-                        write_cache_slot(big, s, slot)
-                        for big, s in zip(caches, small)
-                    )
+                    if stacked:
+                        caches = write_cache_slot_stacked(caches, small, slot)
+                    else:
+                        caches = tuple(
+                            write_cache_slot(big, s, slot)
+                            for big, s in zip(caches, small)
+                        )
                     tok = sample_logits_vec(logits, key, temp[None])
                     return tok[0], caches
 
@@ -246,6 +276,22 @@ class ContinuousBatcher:
             self._write_paged = jax.jit(
                 write_paged, donate_argnums=(0,), static_argnames=("t0",)
             )
+        elif prefill_fn is None and self._stacked_kv:
+            from tpu_lutvq.models.llama import init_stacked_caches
+
+            raw_prefill = functools.partial(
+                llama_forward, cfg, strategy=strategy, interpret=interpret,
+                quality=quality,
+            )
+
+            def admit_one_stacked(weights, prompt, caches, slot, temp, key):
+                small = init_stacked_caches(cfg, 1)
+                logits, small = raw_prefill(weights, prompt, small, jnp.int32(0))
+                caches = write_cache_slot_stacked(caches, small, slot)
+                tok = sample_logits_vec(logits[:, -1], key, temp[None])
+                return tok[0], caches
+
+            self._admit_fused = jax.jit(admit_one_stacked, donate_argnums=(2,))
         elif prefill_fn is None and cache_factory is init_caches:
             raw_prefill = functools.partial(
                 llama_forward, cfg, strategy=strategy, interpret=interpret,
@@ -421,7 +467,7 @@ class ContinuousBatcher:
                     )
                     tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
             elif use_chunked and self._write_slot_sample is not None:
-                small = init_caches(self.cfg, 1)
+                small = self._cache_factory(self.cfg, 1)
                 logits, small = self._chunked_prefill(
                     self.weights, prompt, small
                 )

@@ -1,0 +1,107 @@
+"""Why does chunked prefill OOM at B=8 T=4096 7B in a fresh process?
+
+Static residency arithmetic says ~13.4 GB (8.6 int8 KV + 2.15 f32 scales +
+~2.7 weights) + ~1 GB transients — tight but inside 15.75.  Hypothesis: the
+cache DONATION (donate_argnums on chunk_fwd) is not aliasing through the
+axon remote backend, so input AND output cache pytrees are live across each
+chunk call (2 x 10.75 GB -> guaranteed OOM).  This probe compiles ONE chunk
+step at the failing geometry and prints the compiled memory analysis
+(argument/output/temp sizes + alias table) plus live device memory stats —
+ground truth instead of arithmetic.
+
+Run on TPU: python exp/probe_prefill_memory.py [batch] [seq] [chunk]
+"""
+import sys
+
+sys.path.insert(0, ".")
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.bench.e2e import MODELS
+from tpu_lutvq.models import LlamaConfig, init_llama
+from tpu_lutvq.models.llama import (
+    init_stacked_caches,
+    llama_forward,
+    stack_llama_weights,
+)
+from tpu_lutvq.runtime.generate import bucket_window
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+
+def main():
+    enable_persistent_cache()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    seq = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    model_kw = dict(MODELS["7b"])
+    model_kw["max_seq"] = seq + 1
+    cfg = LlamaConfig(**model_kw)
+
+    dev = jax.devices()[0]
+
+    def stats(tag):
+        try:
+            ms = dev.memory_stats()
+            print(f"[{tag}] bytes_in_use={ms.get('bytes_in_use', '?'):,} "
+                  f"peak={ms.get('peak_bytes_in_use', '?'):,} "
+                  f"limit={ms.get('bytes_limit', '?'):,}", flush=True)
+        except Exception as e:
+            print(f"[{tag}] memory_stats unavailable: {e!r}", flush=True)
+
+    stats("start")
+
+    @jax.jit
+    def build(key):
+        return stack_llama_weights(init_llama(key, cfg, dtype=jnp.bfloat16))
+
+    weights = build(jax.random.PRNGKey(0))
+    jax.tree.leaves(weights)[0].block_until_ready()
+    stats("weights built")
+
+    caches = init_stacked_caches(cfg, batch)
+    jax.tree.leaves(caches)[0].block_until_ready()
+    cache_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(caches))
+    print(f"cache bytes: {cache_bytes/2**30:.2f} GiB", flush=True)
+    stats("cache built")
+
+    @functools.partial(jax.jit, static_argnames=("window",), donate_argnums=(2,))
+    def chunk_fwd(weights, toks, caches, pos0, window):
+        logits, caches = llama_forward(
+            cfg, weights, toks, caches, pos0, strategy="auto",
+            window=window, attn="auto", logits_mode="last",
+        )
+        return logits[:, -1], caches
+
+    toks = jnp.zeros((batch, chunk), jnp.int32)
+    win = bucket_window(chunk, cfg.max_seq)
+    print(f"lowering chunk_fwd window={win} ...", flush=True)
+    lowered = chunk_fwd.lower(weights, toks, caches, jnp.int32(0), window=win)
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    print(f"memory_analysis: {ma}", flush=True)
+    try:
+        print(f"  argument={ma.argument_size_in_bytes/2**30:.2f} GiB "
+              f"output={ma.output_size_in_bytes/2**30:.2f} GiB "
+              f"temp={ma.temp_size_in_bytes/2**30:.2f} GiB "
+              f"alias={ma.alias_size_in_bytes/2**30:.2f} GiB "
+              f"peak(arg+out+temp-alias)="
+              f"{(ma.argument_size_in_bytes + ma.output_size_in_bytes + ma.temp_size_in_bytes - ma.alias_size_in_bytes)/2**30:.2f} GiB",
+              flush=True)
+    except Exception as e:
+        print(f"  (field access: {e!r})", flush=True)
+
+    print("executing one chunk ...", flush=True)
+    try:
+        logits, caches = chunk_fwd(weights, toks, caches, jnp.int32(0), window=win)
+        float(logits[0, 0])
+        stats("after 1 chunk")
+        print("chunk OK", flush=True)
+    except Exception as e:
+        print(f"chunk FAILED: {e!r}", flush=True)
+        stats("after failure")
+
+
+if __name__ == "__main__":
+    main()

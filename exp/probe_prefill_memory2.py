@@ -1,0 +1,81 @@
+"""Projected HBM peak per chunk-window program (compile-only, no execution).
+
+probe_prefill_memory.py established: donation DOES alias (output 8.26 GiB
+aliased onto the input cache) and the W=1024 program's projected peak is
+12.68 GiB.  This probe compiles the REMAINING window programs the chunked
+B=8 T=4096 prefill stamps (W=2048, W=4096) and prints each one's
+memory_analysis — whichever projects past 15.75 GiB is the OOM.
+
+Run on TPU: python -u exp/probe_prefill_memory2.py
+"""
+import sys
+
+sys.path.insert(0, ".")
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_lutvq.bench.e2e import MODELS
+from tpu_lutvq.models import LlamaConfig, init_llama
+from tpu_lutvq.models.llama import (
+    init_stacked_caches,
+    llama_forward,
+    stack_llama_weights,
+)
+from tpu_lutvq.utils.cache import enable_persistent_cache
+
+GIB = 2**30
+
+
+def main():
+    enable_persistent_cache()
+    batch, seq, chunk = 8, 4096, 1024
+    model_kw = dict(MODELS["7b"])
+    model_kw["max_seq"] = seq + 1
+    cfg = LlamaConfig(**model_kw)
+
+    # abstract avals only — no device arrays needed for lower()
+    weights = jax.eval_shape(
+        lambda k: stack_llama_weights(init_llama(k, cfg, dtype=jnp.bfloat16)),
+        jax.random.PRNGKey(0),
+    )
+    caches = jax.eval_shape(lambda: init_stacked_caches(cfg, batch))
+    toks = jax.ShapeDtypeStruct((batch, chunk), jnp.int32)
+    pos0 = jax.ShapeDtypeStruct((), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("window",), donate_argnums=(2,))
+    def chunk_fwd(weights, toks, caches, pos0, window):
+        logits, caches = llama_forward(
+            cfg, weights, toks, caches, pos0, strategy="auto",
+            window=window, attn="auto", logits_mode="last",
+        )
+        return logits[:, -1], caches
+
+    for win in (1024, 2048, 4096):
+        print(f"lower+compile window={win} ...", flush=True)
+        try:
+            ma = (
+                chunk_fwd.lower(weights, toks, caches, pos0, window=win)
+                .compile()
+                .memory_analysis()
+            )
+            peak = (
+                ma.argument_size_in_bytes + ma.output_size_in_bytes
+                + ma.temp_size_in_bytes - ma.alias_size_in_bytes
+            )
+            print(
+                f"  W={win}: arg={ma.argument_size_in_bytes/GIB:.2f} "
+                f"out={ma.output_size_in_bytes/GIB:.2f} "
+                f"temp={ma.temp_size_in_bytes/GIB:.2f} "
+                f"alias={ma.alias_size_in_bytes/GIB:.2f} "
+                f"PEAK={peak/GIB:.2f} GiB "
+                f"({'FITS' if peak < 15.75 * GIB else 'EXCEEDS'} 15.75)",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"  W={win}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -298,3 +298,35 @@ def test_llama_hybrid_stacked_kv_matches_loop(tiny_model):
         strategy="dequant_mm", interpret=True, window=cfg.max_seq,
     )
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)
+
+
+def test_kv_scale_dtype_bf16_close_to_f32():
+    """kv_scale_dtype="bf16" halves the scale planes.  A ~0.4% scale
+    perturbation amplifies through a sharp softmax, so pairwise logit
+    equality with the f32-scale path is NOT the right bar; the honest bar
+    is distance to the unquantized (kv_dtype=bf16) ground truth: the
+    bf16-scale path must not be meaningfully farther from truth than the
+    f32-scale path already is."""
+    import dataclasses
+
+    cfg = LlamaConfig.tiny()
+    cfg16 = dataclasses.replace(cfg, kv_scale_dtype="bf16")
+    cfg_true = dataclasses.replace(cfg, kv_dtype="bf16")
+    weights = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, cfg.vocab_size)
+
+    outs = {}
+    for name, c in (("f32", cfg), ("bf16", cfg16), ("true", cfg_true)):
+        logits, caches = llama_forward(
+            c, weights, tokens, init_caches(c, 2), jnp.int32(0),
+            strategy="dequant_mm", interpret=True,
+        )
+        step = jnp.full((2, 1), 7, jnp.int32)
+        d, _ = llama_forward(c, weights, step, caches, jnp.int32(6),
+                             strategy="dequant_mm", interpret=True)
+        outs[name] = np.asarray(d)
+    assert init_caches(cfg16, 1)[0].k_scale.dtype == jnp.bfloat16
+    err32 = np.abs(outs["f32"] - outs["true"]).mean()
+    err16 = np.abs(outs["bf16"] - outs["true"]).mean()
+    # bf16 scales must cost at most ~half again the error int8 KV already has
+    assert err16 <= err32 * 1.5 + 1e-3, (err16, err32)

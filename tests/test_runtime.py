@@ -242,3 +242,41 @@ def test_batcher_stacked_kv_rejects_paged_and_tp():
     with pytest.raises(ValueError, match="injected"):
         ContinuousBatcher(cfg, weights, n_slots=2, stacked_kv=True,
                           step_fn=lambda *a, **k: None)
+
+
+def test_fused_chunked_prefill_matches_oneshot(tiny):
+    """make_fused_chunked_prefill (single-program: in-trace zero-init cache,
+    lax.scan over full chunks, in-trace tail) must equal one-shot prefill —
+    both with and without a tail chunk."""
+    from tpu_lutvq.models.llama import (
+        init_stacked_caches,
+        llama_forward,
+        stack_llama_weights,
+    )
+    from tpu_lutvq.runtime.generate import make_fused_chunked_prefill
+
+    cfg, weights = tiny
+    sw = stack_llama_weights(weights)
+    for t in (12, 13):  # 12 = 3 full chunks; 13 = + tail of 1
+        tokens = jax.random.randint(
+            jax.random.PRNGKey(t), (2, t), 0, cfg.vocab_size
+        )
+        logits_1, caches_1 = llama_forward(
+            cfg, sw, tokens, init_stacked_caches(cfg, 2), jnp.int32(0),
+            logits_mode="last",
+            window=cfg.max_seq,  # fused uses bucket_window(t) = max_seq here
+            **STRAT,
+        )
+        fused = make_fused_chunked_prefill(cfg, chunk=4, **STRAT)
+        logits_f, caches_f = fused(sw, tokens)
+        np.testing.assert_allclose(
+            np.asarray(logits_f), np.asarray(logits_1[:, -1]),
+            rtol=1e-5, atol=1e-5,
+        )
+        for got, want in zip(jax.tree_util.tree_leaves(caches_f),
+                             jax.tree_util.tree_leaves(caches_1)):
+            got, want = np.asarray(got), np.asarray(want)
+            if np.issubdtype(got.dtype, np.integer):
+                np.testing.assert_array_equal(got, want)
+            else:
+                np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)

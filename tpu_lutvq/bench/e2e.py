@@ -98,7 +98,10 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
         return stack_llama_weights(init_llama(key, cfg, dtype=jnp.bfloat16))
 
     weights = build(jax.random.PRNGKey(0))
-    caches = init_stacked_caches(cfg, batch)
+    # chunked mode zero-inits its cache INSIDE the program — an eager
+    # device allocation here would sit alongside it (2x 8.26 GiB at 7B
+    # B=8 T=4096) and decide OOM-or-not by itself
+    caches = None if chunk > 0 else init_stacked_caches(cfg, batch)
     tokens = jnp.zeros((batch, seq), jnp.int32)
 
     from tpu_lutvq.runtime.generate import bucket_window
@@ -106,12 +109,17 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
     win = bucket_window(seq, cfg.max_seq)  # don't scan cache rows past the prompt
 
     if chunk > 0:
-        from tpu_lutvq.runtime.generate import make_chunked_prefill
+        # fused single-program form: the cache never crosses the call
+        # boundary (the cross-call donated-cache chain wedges the tunnel
+        # runtime at 8 GiB cache scale — make_fused_chunked_prefill
+        # docstring, exp/probe_prefill_memory*.py)
+        from tpu_lutvq.runtime.generate import make_fused_chunked_prefill
 
-        prefill = make_chunked_prefill(
+        fused = make_fused_chunked_prefill(
             cfg, chunk=chunk, strategy=strategy, interpret=interpret,
             variant=variant, attn=attn,
         )
+        prefill = lambda weights, tokens, caches: fused(weights, tokens)
     else:
         # donate the caches: without it the input AND output cache pytrees
         # are live across the call — 2 x 8.5 GB at B=8 T=4096 7B, an HBM OOM
@@ -127,6 +135,11 @@ def run_prefill(model: str = "tiny", batch: int = 1, seq: int = 512,
 
     out, caches = prefill(weights, tokens, caches)
     float(out[0, 0])
+    if chunk > 0:
+        # drop the warm run's cache before the timed run: the fused program
+        # allocates its own internal cache + output, and holding the old one
+        # across the call doubles the dominant resident
+        out, caches = None, None
     t0 = time.perf_counter()
     out, caches = prefill(weights, tokens, caches)
     float(out[0, 0])

@@ -38,6 +38,10 @@ class LlamaConfig:
     # projection per step in the LUT build (measured ~8-20 us each)
     shared_codebook: bool = True
     kv_dtype: str = "int8"  # "int8" (half memory) | "bf16" (no dequant traffic)
+    # "bf16" halves the scale planes (the second-largest static resident at
+    # long context: f32 scales are 2.15 GB at 7B B=8 S=4096) at ~0.4%
+    # relative scale error; consumers upcast at the multiply (KVCache.init)
+    kv_scale_dtype: str = "f32"  # "f32" | "bf16"
     head_dim_override: Optional[int] = None  # set by local_tp_config: head_dim
     # is a global property and must survive n_heads being divided per device
 
@@ -552,7 +556,9 @@ def llama_decode_step(
 
 def init_caches(cfg: LlamaConfig, batch: int) -> tuple[KVCache, ...]:
     dtype = jnp.int8 if cfg.kv_dtype == "int8" else jnp.bfloat16
+    sdtype = jnp.bfloat16 if cfg.kv_scale_dtype == "bf16" else jnp.float32
     return tuple(
-        KVCache.init(batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim, dtype)
+        KVCache.init(batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim, dtype,
+                     scale_dtype=sdtype)
         for _ in range(cfg.n_layers)
     )

@@ -74,6 +74,14 @@ def make_chunked_prefill(
     one compiled program: ceil(T/chunk) calls share ≤ log2 window buckets
     (+1 tail shape), and the cache pytree is donated through the chain.
 
+    SCALE LIMIT: this cross-call form is for admission-scale caches (the
+    batcher chunks B=1 prompts through KB–MB caches).  At multi-GiB cache
+    scale the tunnel runtime dies shipping the cache through the call
+    boundary even though every program's compiled memory_analysis fits
+    (artifacts/prefill_longT_r05.txt) — use
+    :func:`make_fused_chunked_prefill` there (single program, in-trace
+    cache).
+
     Returns ``prefill(weights, tokens, caches) -> (last_logits (B, vocab),
     caches)``; ``caches`` may be the per-layer tuple or the stacked form.
     """
@@ -101,6 +109,74 @@ def make_chunked_prefill(
                 weights, tokens[:, c0:c1], caches, jnp.int32(c0), window=win
             )
         return logits, caches
+
+    return prefill
+
+
+def make_fused_chunked_prefill(
+    cfg: LlamaConfig,
+    *,
+    chunk: int = 1024,
+    strategy: str = "auto",
+    interpret: bool | None = None,
+    variant: str = "auto",
+    attn: str = "auto",
+    quality: str = "exact",
+):
+    """Chunked prefill as ONE compiled program: ``prefill(weights, tokens)
+    -> (last_logits (B, vocab), stacked caches)``.
+
+    The cross-call form (:func:`make_chunked_prefill`) threads a donated
+    cache pytree through ceil(T/chunk) dispatches.  At 7B B=8 T=4096 the
+    stacked cache is 8.26 GiB and the chain reliably dies on the tunnel
+    runtime with RESOURCE_EXHAUSTED even though every window program's
+    compiled memory_analysis projects ≤ 12.7 GiB with the output fully
+    aliased onto the donated input (exp/probe_prefill_memory2.py) — i.e.
+    the failure is a boundary-crossing cost, not program memory.  This form
+    removes the boundary: the cache is ZERO-INITIALIZED INSIDE the traced
+    program (never shipped through the call boundary), ``lax.scan`` runs
+    the full chunks with the cache as carry (one aliased buffer, in-place
+    scatters), and an optional tail chunk runs in-trace after the scan.
+    Device residency is weights + ONE cache + chunk transients.
+
+    All full chunks share one scanned body compiled at window=
+    bucket_window(T) — early chunks stream some zero rows the per-chunk
+    window would skip; that extra KV read is trivial against the MLP FLOPs
+    of a T-slice and buys single-program compilation.
+    """
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    from tpu_lutvq.models.llama import init_stacked_caches
+
+    @jax.jit
+    def prefill(weights, tokens):
+        b, t = tokens.shape
+        win = bucket_window(t, cfg.max_seq)
+        caches = init_stacked_caches(cfg, b)  # traced zeros — not an operand
+        n_full = t // chunk
+        tail = t - n_full * chunk
+
+        def body(caches, xs):
+            toks, c0 = xs
+            logits, caches = llama_forward(
+                cfg, weights, toks, caches, c0, strategy=strategy,
+                interpret=interpret, window=win, variant=variant, attn=attn,
+                quality=quality, logits_mode="last",
+            )
+            return caches, logits[:, -1]
+
+        last = None
+        if n_full:
+            toks = tokens[:, : n_full * chunk].reshape(b, n_full, chunk)
+            toks = jnp.transpose(toks, (1, 0, 2))  # (n, B, chunk)
+            c0s = jnp.arange(n_full, dtype=jnp.int32) * chunk
+            caches, ys = jax.lax.scan(body, caches, (toks, c0s))
+            last = ys[-1]
+        if tail:
+            caches, last = body(
+                caches, (tokens[:, n_full * chunk :], jnp.int32(n_full * chunk))
+            )
+        return last, caches
 
     return prefill
 

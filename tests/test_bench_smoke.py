@@ -225,3 +225,19 @@ def test_all_py_compile():
             compile(src, path, "exec")
         except SyntaxError as e:
             pytest.fail(f"{os.path.relpath(path, REPO)}: {e}")
+
+
+def test_bench_time_small_n_no_zero_division():
+    """n=16 used to hit n_lo == n (slope divides by zero); small n must
+    still produce a slope with n_lo < n, and n < 8 is refused."""
+    sys.path.insert(0, REPO)
+    try:
+        from tpu_lutvq.bench.harness import bench_time
+    finally:
+        sys.path.pop(0)
+    import jax.numpy as jnp
+
+    dt = bench_time(lambda x: x * 2.0, jnp.ones((8, 8)), n=16, repeats=1)
+    assert dt == dt or dt != dt  # slope or NaN — never an exception
+    with pytest.raises(ValueError, match="n >= 8"):
+        bench_time(lambda x: x, jnp.ones((4,)), n=4)

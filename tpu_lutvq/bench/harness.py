@@ -83,7 +83,10 @@ def bench_time(
         acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
         return acc
 
-    n_lo = max(16, n // 4)
+    if n < 8:
+        raise ValueError(f"bench_time needs n >= 8 (got {n}): the slope "
+                         "protocol differences two rep counts")
+    n_lo = min(max(16, n // 4), n // 2)  # always leaves n - n_lo > 0
     kn, kl = jnp.int32(n), jnp.int32(n_lo)
     float(rep(kn, x, *args))
     float(rep(kl, x, *args))

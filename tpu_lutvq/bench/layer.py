@@ -44,19 +44,19 @@ def run(model: str = "7b", batch: int = 1, proj: str = "gate_proj",
 
     results = {}
     results["dense_bf16"] = bench_time(
-        lambda x: (x.astype(jnp.bfloat16) @ w_dense.T).astype(jnp.float32), x, n=64
+        lambda x: (x.astype(jnp.bfloat16) @ w_dense.T).astype(jnp.float32), x, n=512
     )
-    results["lut_gemv"] = bench_time(lambda x: lut_gemv(cfg, packed, x), x, n=64)
-    results["dequant_mm"] = bench_time(lambda x: dequant_matmul(cfg, packed, x), x, n=64)
+    results["lut_gemv"] = bench_time(lambda x: lut_gemv(cfg, packed, x), x, n=512)
+    results["dequant_mm"] = bench_time(lambda x: dequant_matmul(cfg, packed, x), x, n=512)
     # the W8A8 quad-table variant: half of bf16x2's gathers (item 8's
     # candidate for closing the 412 -> 250 us gap), opt-in weight precision
     results["dequant_mm_i8"] = bench_time(
-        lambda x: dequant_matmul(cfg, packed, x, tables="i8"), x, n=64
+        lambda x: dequant_matmul(cfg, packed, x, tables="i8"), x, n=512
     )
     # int16-table tier (reference epi16, VecProductQuantizer.h:2369-2730):
     # exact int32 MXU accumulate over offset-flipped byte rows
     results["lut_gemv_i16"] = bench_time(
-        lambda x: lut_gemv(cfg, packed, x, variant="i16"), x, n=64
+        lambda x: lut_gemv(cfg, packed, x, variant="i16"), x, n=512
     )
     # 1x16 exact-at-footprint tier (models/linear.py ChunkedVQLinear): the
     # "dense-bf16-class speed" claim, measured instead of asserted

@@ -24,7 +24,7 @@ from tpu_lutvq.kernels import lut_gemv, pack_params
 
 
 def run(d_out: int = 28672, batch: int = 1, chip_name: str = "v5e",
-        variant: str = "auto") -> list[dict]:
+        variant: str = "auto", n: int = 128) -> list[dict]:
     chip = CHIPS[chip_name]
     rows = []
     cases = {
@@ -39,8 +39,10 @@ def run(d_out: int = 28672, batch: int = 1, chip_name: str = "v5e",
         )
         packed = pack_params(cfg, params)
         x = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.d_in), jnp.float32)
+        # sub-40 us ops need n >= 1024 against tunnel jitter (protocol
+        # note, BENCH_NOTES.md) — the harness refuses (NaN) otherwise
         dt = bench_time(
-            lambda x: lut_gemv(cfg, packed, x, variant=variant), x, n=128
+            lambda x: lut_gemv(cfg, packed, x, variant=variant), x, n=n
         )
         n_lookups = batch * d_out * cfg.n_groups
         # predict with the variant's own cost row (i8/i16 have their own
@@ -80,8 +82,10 @@ if __name__ == "__main__":
     ap.add_argument("--variant", default="auto",
                     help="lookup-kernel variant (auto|f32|pair|pairf|bpair|i8|i16)")
     ap.add_argument("--csv", type=str, default=None)
+    ap.add_argument("--n", type=int, default=128,
+                    help="in-dispatch reps (use >= 1024 for sub-40us ops)")
     args = ap.parse_args()
-    rows = run(args.dout, args.batch, variant=args.variant)
+    rows = run(args.dout, args.batch, variant=args.variant, n=args.n)
     if args.csv:
         write_csv(args.csv, rows)
         print(f"wrote {args.csv}")

@@ -36,12 +36,12 @@ _OPS_PER_CODE_K128_BPAIR = 6.0  # per token pair (single gather, no select)
 _OPS_PER_CODE_K256_I8PAIR = 8.2
 _OPS_PER_CODE_K128_I8QUAD = 6.0  # per token QUAD
 # int16-table variant (variant='i16'): 1 token/gather-word at K=256 (the
-# varshift selects the K-half), 2 at K≤128.  Same gather/prep skeleton as
-# i8 plus the two-selector hi/lo reconstruct (the dots ride the MXU; the
-# ×256 + offset-add float fixup is ~3 extra VPU ops per 128-lane tile).
-# Estimates pending hardware calibration (VERDICT r4 item 5).
-_OPS_PER_CODE_K256_I16 = 8.5  # per token (one word serves ONE token)
-_OPS_PER_CODE_K128_I16PAIR = 7.0  # per token PAIR
+# varshift selects the K-half), 2 at K≤128.  The hi/lo reconstruct dots
+# ride the MXU, so the VPU cost per word is close to the pair kernel's
+# (unpack + prep + gather + shift + bitcast).  CALIBRATED r5: measured
+# 189.1 µs at 4096² B=8 → 5.4 ops/word predicts 190.7 (0.8% error).
+_OPS_PER_CODE_K256_I16 = 5.4  # per token (one word serves ONE token)
+_OPS_PER_CODE_K128_I16PAIR = 4.5  # per token PAIR (no prep/shift; estimate)
 _OPS_PER_CODE_SHARED = 0.0
 # dequant_mm v2 (MXU-folded N-sum, no scratch): per code, batch-amortized;
 # recalibrated against the measured sweep (artifacts/dataflow_sweep.csv:

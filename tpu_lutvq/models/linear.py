@@ -61,11 +61,18 @@ class ChunkedVQLinear(NamedTuple):
     ``chunk x d_in`` bf16 (4 MB at 7B shapes) — never the full dense layer.
 
     Exactness: identical to the load-time-dequant tier (same gather + sum +
-    scale, bf16 weights) — checkpoint quality, no refit loss.  Cost: the
-    reconstruct traffic is ~d_out*d_in*2 B per call (like reading a bf16
-    dense layer) plus the code reads — i.e. dense-bf16-class speed at 1x16
-    memory, NOT 2x8-kernel speed.  The right tier when the checkpoint is
-    1x16 and HBM is the binding constraint (e.g. 70B on one chip).
+    scale, bf16 weights) — checkpoint quality, no refit loss.  Cost,
+    MEASURED (r5, 7B gate 4096×11008 B=1 on v5e): **54.2 ms/call** vs
+    ~0.12 ms dense bf16 — NOT dense-class.  The reconstruct is 5.6M random
+    16-byte row reads from the HBM codebook; at ~512 B HBM transaction
+    granularity that is ≥ 2.9 GB effective traffic (≥ 3.5 ms floor), and
+    XLA's row-gather lowering lands ~15× above even that floor.  (The r4
+    "dense-bf16-class speed" estimate modeled the useful bytes only —
+    wrong, and withdrawn.)  The right tier ONLY when the checkpoint is
+    1x16 and the dequantized model does not fit HBM (70B-class on one
+    chip): exact at checkpoint footprint, throughput-bound for offline
+    use.  When the dense form fits, load-time dequant (VQDenseLinear) is
+    strictly faster at the same exactness.
 
     Reference analog: CUDA_KERNEL.code1x16_matmat serves 1x16 fused exactly
     (benchmark_rq_gemm_gpu.py:103-105); on TPU this chunked XLA form is the

@@ -219,7 +219,7 @@ def test_windowed_attention_matches_full():
 
 def test_attn_policy_resolution():
     """attn="auto" resolves from the measured B x window crossover
-    (artifacts/attn_crossover_r04.txt) and is idempotent on concrete values."""
+    (artifacts/attn_crossover_r05.txt) and is idempotent on concrete values."""
     from tpu_lutvq.models.attn_policy import resolve_attn
 
     # concrete values pass through untouched

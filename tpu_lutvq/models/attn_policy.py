@@ -4,11 +4,10 @@
 / resolve_variant); attention was the last manual knob, left with a default
 tuned against the PRE-redesign flash kernel (VERDICT r3 weak #4).  This
 module encodes the crossover measured on hardware against the redesigned
-all-heads kernel: exp/probe_attn_crossover_r04.py, tables committed in
-artifacts/attn_crossover_r04.txt (coarse grid, n=64) and
-artifacts/attn_crossover_r04_fine.txt (small-window re-measure, n=1024 —
-the n=64 small-window rows carry 0.0-µs slope artifacts; trust the fine
-table where they disagree).
+all-heads kernel: exp/probe_attn_crossover_r05.py, ONE clean table in
+artifacts/attn_crossover_r05.txt (the r4 coarse/fine pair carried 0.0-µs
+slope artifacts and is superseded; the r5 probe escalates n until the
+harness-accepted slope resolves, so every committed row is physical).
 
 Measured shape of the decision (7B geometry, Hkv=32, Dh=128, int8 KV):
 
@@ -18,19 +17,18 @@ Measured shape of the decision (7B geometry, Hkv=32, Dh=128, int8 KV):
   fallback (its VMEM-resident scores matter where the XLA path's transient
   blows memory, not time).
 - Decode (T == 1), slab cache: the redesigned flash kernel standalone
-  wins EVERY measured point down to B*window = 1024 — including B=1
-  (W=1024: 16.9 vs 26.9 µs; W=8192: 101 vs 184 µs), which the old
-  145 GB/s kernel lost.  It sustains 510–780 GB/s vs the einsum path's
-  320–450 (the XLA path re-reads scores/probs through HBM and burns a
-  (B, H, 1, S) softmax).  Below B*window ≈ 1K both paths are ≤ ~15 µs
-  and the slope protocol can no longer separate them (0.0-µs artifacts);
-  the threshold sits at the smallest measured win.  END-TO-END, however,
-  B=1 flips (see MIN_BATCH_FOR_FLASH_SLAB below) — auto trusts the e2e
-  measurement where the two disagree.
+  wins EVERY r5-measured point down to B*window = 1024 — including B=1
+  (W=1024: 9.6 vs 27.5 µs; W=8192: 104.5 vs 185.3 µs) — at 550–905 GB/s
+  vs the einsum path's 315–500 (one off-trend row, B=8 W=1024 at n=256,
+  sits inside the session band).  Below B*window ≈ 1K both paths are
+  ≤ ~15 µs and the threshold sits at the smallest measured win.
+  END-TO-END with per-layer TUPLE caches, B=1 flips (see
+  MIN_BATCH_FOR_FLASH_SLAB below); with the stacked/hybrid container
+  flash wins B=1 end-to-end too (longctx_hybrid_r05.txt).
 - Decode, paged pool: flash wins every measured point down to
-  B*window = 512 (B=2 W=256: 8.5 vs 11.6 µs) and by 4–5.6× at pool scale
-  (B=16 W=4096: 780 vs 4188 µs) — window_view's gather copy collapses to
-  ~130–160 GB/s at large B*W.
+  B*window = 512 and by 4.5–6× at pool scale (r5: B=16 W=4096: 948.5 vs
+  4238.1 µs) — window_view's gather copy collapses to ~130–150 GB/s at
+  large B*W while the paged kernel holds 584–844 GB/s.
 
 Threshold constants are module-level so a probe rerun can recalibrate them
 in one place.
@@ -40,7 +38,7 @@ from __future__ import annotations
 
 # B*window (tokens) above which the fused flash kernel beats the XLA
 # einsum path — measured on v5e against the all-heads kernel
-# (artifacts/attn_crossover_r04{,_fine}.txt).  Set at the smallest
+# (artifacts/attn_crossover_r05.txt).  Set at the smallest
 # measured flash win; below it the kernels are too fast to separate and
 # the fused einsum is the safe default (also keeps tiny CPU-test models
 # off the interpret-mode kernel path).

@@ -280,3 +280,41 @@ def test_fused_chunked_prefill_matches_oneshot(tiny):
                 np.testing.assert_array_equal(got, want)
             else:
                 np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_batcher_pipelined_matches_sequential(tiny, paged):
+    """run(pipeline=True) overlaps tick k+1's dispatch with tick k's token
+    fetch (EOS/admission reaction lags one tick, overshoot truncated).
+    Greedy outputs must equal the sequential scheduler exactly — slab and
+    paged, staggered lengths, horizon > 1."""
+    cfg, weights = tiny
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [3, 1]]
+    max_new = [6, 3, 5, 4]
+    kw = dict(paged_blocks=16, paged_block_size=8) if paged else {}
+
+    outs = {}
+    for pipeline in (False, True):
+        batcher = ContinuousBatcher(cfg, weights, n_slots=2, **kw, **STRAT)
+        for i, (p, mn) in enumerate(zip(prompts, max_new)):
+            batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+        done = batcher.run(horizon=2, pipeline=pipeline)
+        assert len(done) == 4
+        outs[pipeline] = {r.req_id: r.output for r in done}
+    assert outs[False] == outs[True], (outs[False], outs[True])
+
+
+def test_batcher_pipelined_eos(tiny):
+    """EOS mid-flight under pipelining: the finished request's overshoot is
+    truncated and its slot serves the next pending request."""
+    cfg, weights = tiny
+    r = generate(cfg, weights, jnp.asarray([[1, 2]], jnp.int32), max_new_tokens=1, **STRAT)
+    eos = int(r.tokens[0, -1])
+    batcher = ContinuousBatcher(cfg, weights, n_slots=1, **STRAT)
+    batcher.submit(Request(req_id=0, prompt=[1, 2], max_new_tokens=10, eos_id=eos))
+    batcher.submit(Request(req_id=1, prompt=[3], max_new_tokens=2))
+    done = batcher.run(horizon=2, pipeline=True, max_steps=60)
+    assert len(done) == 2
+    by_id = {r.req_id: r.output for r in done}
+    assert by_id[0] == [eos]
+    assert len(by_id[1]) == 2

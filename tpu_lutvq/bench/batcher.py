@@ -86,6 +86,7 @@ def run(
     paged_blocks: int | None = None,
     attn: str = "auto",
     quality: str = "exact",
+    pipeline: bool = False,
 ) -> list[dict]:
     cfg = LlamaConfig(**MODELS[model])
 
@@ -139,11 +140,11 @@ def run(
                     max_new_tokens=max(2, 2 * horizon),
                 )
             )
-        batcher.run(horizon=horizon)
+        batcher.run(horizon=horizon, pipeline=pipeline)
 
         submit_all(batcher)
         t0 = time.perf_counter()
-        done = batcher.run(horizon=horizon)
+        done = batcher.run(horizon=horizon, pipeline=pipeline)
         dt = time.perf_counter() - t0
         toks = sum(len(r.output) for r in done)
         rows.append(
@@ -154,6 +155,7 @@ def run(
                 "Slots": slots,
                 "Horizon": horizon,
                 "Requests": n_requests,
+                "Pipeline": pipeline,
                 "Tokens": toks,
                 "Wall_s": round(dt, 3),
                 "Tok_per_s": round(toks / dt, 1),
@@ -163,7 +165,8 @@ def run(
         )
         print(
             f"{model}{' paged' if paged_blocks else ''} slots={slots} "
-            f"horizon={horizon} quality={quality}: {toks} tokens in "
+            f"horizon={horizon} quality={quality}"
+            f"{' PIPELINED' if pipeline else ''}: {toks} tokens in "
             f"{dt:.2f}s -> {toks/dt:.1f} tok/s delivered "
             f"(raw loop same-session: {raw_tps} tok/s, "
             f"overhead {100 * (1 - (toks / dt) / raw_tps):.1f}%)",
@@ -190,6 +193,8 @@ def main() -> None:
     ap.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"])
     ap.add_argument("--quality", default="exact", choices=["exact", "fast"],
                     help="'fast' lets auto serve the W8A8 i8 weight path")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="overlap tick k+1 dispatch with tick k's fetch")
     args = ap.parse_args()
     rows = run(
         model=args.model,
@@ -202,6 +207,7 @@ def main() -> None:
         paged_blocks=args.paged,
         attn=args.attn,
         quality=args.quality,
+        pipeline=args.pipeline,
     )
     if args.csv:
         write_csv(args.csv, rows)

@@ -360,11 +360,44 @@ class ContinuousBatcher:
     def has_work(self) -> bool:
         return bool(self.pending) or any(r is not None for r in self.active)
 
-    def run(self, max_steps: int = 100000, horizon: int = 1) -> list[Request]:
+    def run(self, max_steps: int = 100000, horizon: int = 1,
+            pipeline: bool = False) -> list[Request]:
+        """Drive the scheduler to completion.
+
+        ``pipeline=True`` overlaps ticks: tick k+1 is DISPATCHED before tick
+        k's tokens are fetched, with k+1's input tokens taken from k's
+        on-device sampler output (the host never sits in the token path).
+        Through a ~35 ms-RTT tunnel this hides one full round-trip per tick
+        — the dominant same-session scheduler overhead
+        (artifacts/batcher_r05.txt).  Costs: EOS/admission reaction lags one
+        tick (a finished slot decodes up to one extra horizon of garbage —
+        truncated on the host exactly like horizon overshoot; a freed slot
+        re-admits one tick later).  Correctness of stale in-flight writes:
+        dispatch order serializes the stale tick BEFORE any re-admission's
+        cache write, and rows a stale tick wrote past a new sequence's
+        prefix are rewritten by that sequence's own appends before its
+        attention window can read them.
+        """
         steps = 0
-        while self.has_work and steps < max_steps:
-            self.step(horizon=horizon)
+        if not pipeline:
+            while self.has_work and steps < max_steps:
+                self.step(horizon=horizon)
+                steps += 1
+            done, self.completed = self.completed, []
+            return done
+        prev = None
+        while steps < max_steps:
+            if prev is None and not self.has_work:
+                break
+            nxt = self._dispatch_tick(horizon, prev=prev)
+            if prev is not None:
+                self._collect_tick(prev)
+            elif nxt is None:
+                break  # nothing active and nothing admissible
+            prev = nxt
             steps += 1
+        if prev is not None:
+            self._collect_tick(prev)
         done, self.completed = self.completed, []
         return done
 
@@ -522,19 +555,41 @@ class ContinuousBatcher:
         ON DEVICE; exactly one host fetch per tick — admission first-tokens
         ride the decode step's token vector as device scalars and are fetched
         together with the step output, never individually)."""
+        ticket = self._dispatch_tick(horizon, prev=None)
+        if ticket is not None:
+            self._collect_tick(ticket)
+
+    def _dispatch_tick(self, horizon: int, prev=None):
+        """Admit, then DISPATCH one decode tick; no host fetch.
+
+        Returns a ticket dict for :meth:`_collect_tick`, or None if nothing
+        is active.  ``prev`` (the still-uncollected previous ticket) enables
+        the pipelined mode: slots carried from ``prev`` chain their input
+        token from prev's ON-DEVICE sampler output (prev.toks[-1]) and their
+        position from prev's dispatch-time position + horizon — the host
+        never enters the token path between overlapped ticks."""
         deferred = self._admit()
         slots = [i for i, r in enumerate(self.active) if r is not None]
         if not slots:
-            return
+            return None
+        prev_slots = set(prev["slots"]) if prev is not None else set()
         # batched decode over all slots; inactive slots decode garbage at pos 0
         tokens = np.zeros(self.n_slots, np.int32)
         pos = np.zeros(self.n_slots, np.int32)
         temps = np.zeros(self.n_slots, np.float32)
         new_slots = {s for s, _, _ in deferred}
+        chained = []  # slots whose token comes from prev's device output
         for i in slots:
-            if i not in new_slots:  # deferred slots' token is still on device
+            if i in new_slots:
+                pos[i] = self.slot_pos[i] - 1  # set by _admit
+            elif prev is not None and i in prev_slots:
+                # pipelined chain: position advances deterministically; the
+                # token value lives on device (scattered below)
+                pos[i] = int(prev["pos"][i]) + prev["h"]
+                chained.append(i)
+            else:
                 tokens[i] = self.active[i].output[-1]
-            pos[i] = self.slot_pos[i] - 1  # position of the token being fed
+                pos[i] = self.slot_pos[i] - 1  # position of the token being fed
             temps[i] = self.active[i].temperature
         self.key, sub = jax.random.split(self.key)
         # a horizon roll must never write cache rows past max_seq (paged:
@@ -547,22 +602,25 @@ class ContinuousBatcher:
             )
 
         if horizon > 1 and any(
-            int(self.slot_pos[i]) - 1 + horizon > _cap(i) for i in slots
+            int(pos[i]) + horizon > _cap(i) for i in slots
         ):
             horizon = 1
         # attention length bucket: the roll's LAST step reads cache rows
-        # 0..max(slot_pos)-1+horizon-1, so the window must cover
-        # max(slot_pos)-1+horizon rows.  Power-of-two buckets (bucket_window)
-        # keep the compiled-program set at ≤ log2(max_seq) per horizon while
-        # the flash/paged kernels stream only ``window`` rows instead of the
+        # 0..max(pos)+horizon-1, so the window must cover max(pos)+horizon
+        # rows.  Power-of-two buckets (bucket_window) keep the
+        # compiled-program set at ≤ log2(max_seq) per horizon while the
+        # flash/paged kernels stream only ``window`` rows instead of the
         # full max_seq slab — the win grows with max_seq/mean-length.
         window = None
         if self._windowed:
             from tpu_lutvq.runtime.generate import bucket_window
 
-            need = max(int(self.slot_pos[i]) for i in slots) - 1 + horizon
+            need = max(int(pos[i]) for i in slots) + horizon
             window = bucket_window(need, self.cfg.max_seq)
         tok_vec = jnp.asarray(tokens)
+        if chained:
+            idx = jnp.asarray(chained, jnp.int32)
+            tok_vec = tok_vec.at[idx].set(prev["toks"][-1][idx])
         if deferred:
             # fold the admission first-tokens in ON DEVICE (tiny async
             # scatter — no host sync before the decode dispatch)
@@ -580,16 +638,33 @@ class ContinuousBatcher:
                 self.weights, tok_vec, self.caches, jnp.asarray(pos), **kw,
             )
             toks = self._sample(logits, sub, jnp.asarray(temps))[None]
+        return {
+            "toks": toks,  # (horizon|1, B) device
+            "deferred": deferred,
+            "slots": slots,
+            "reqs": {i: self.active[i] for i in slots},
+            "h": horizon,
+            "pos": pos,
+        }
+
+    def _collect_tick(self, ticket) -> None:
+        """Fetch a dispatched tick's tokens and do the host bookkeeping."""
+        deferred = ticket["deferred"]
         # ONE host fetch: step tokens + any deferred admission first-tokens
         toks, first = jax.device_get(
-            (toks, [t for _, _, t in deferred])
+            (ticket["toks"], [t for _, _, t in deferred])
         )
         toks = np.asarray(toks)  # (horizon|1, B)
         for (i, req, _), tok in zip(deferred, first):
             req.output.append(int(tok))
             self._maybe_finish(req, slot_len=int(self.slot_pos[i]))
-        for i in slots:
-            req = self.active[i]
+        for i in ticket["slots"]:
+            req = ticket["reqs"][i]
+            if self.active[i] is not req:
+                # pipelined staleness: the slot completed at an earlier
+                # collect (and may already host a NEW request admitted by a
+                # later dispatch) — this tick's tokens for it are overshoot
+                continue
             for h in range(toks.shape[0]):
                 if req.done:
                     break  # horizon overshoot past EOS/max: truncate

@@ -617,10 +617,23 @@ class ContinuousBatcher:
 
             need = max(int(pos[i]) for i in slots) + horizon
             window = bucket_window(need, self.cfg.max_seq)
-        tok_vec = jnp.asarray(tokens)
-        if chained:
-            idx = jnp.asarray(chained, jnp.int32)
-            tok_vec = tok_vec.at[idx].set(prev["toks"][-1][idx])
+        if (
+            chained
+            and not deferred
+            and len(chained) == len(slots)
+        ):
+            # steady-state pipelined tick: every active slot chains from the
+            # previous roll's on-device output — feed it STRAIGHT in.  The
+            # general merge below costs 2-3 un-jitted device ops, each a
+            # full tunnel RPC (~35 ms) on the axon runtime; this path costs
+            # zero (measured: the merge-based pipeline was NET SLOWER than
+            # sequential, 298 vs 420 tok/s, artifacts/batcher_r05.txt).
+            tok_vec = prev["toks"][-1]
+        else:
+            tok_vec = jnp.asarray(tokens)
+            if chained:
+                idx = jnp.asarray(chained, jnp.int32)
+                tok_vec = tok_vec.at[idx].set(prev["toks"][-1][idx])
         if deferred:
             # fold the admission first-tokens in ON DEVICE (tiny async
             # scatter — no host sync before the decode dispatch)

@@ -469,9 +469,13 @@ def llama_forward(
       :func:`stack_llama_weights`) → ``lax.scan`` (fast compiles);
     - caches = one stacked KVCache + per-layer weights (>1 entries) →
       HYBRID: python loop over persistent weight buffers, flash decode
-      reading the stacked int8 planes in place — the B=1 serving mode
-      (neither scan's weight-slice copies nor the tuple-cache pallas
-      operand copies; artifacts/longctx_r05.txt).
+      reading the stacked int8 planes in place — the small-batch serving
+      mode (neither scan's weight-slice copies nor the tuple-cache pallas
+      operand copies; B=1 7B: +14% over the best tuple config,
+      artifacts/longctx_hybrid_r05.txt).  Scale boundary: the tunnel
+      runtime double-allocates multi-GiB donated buffers, so keep the
+      stacked K/V leaves under ~2 GiB (7B: B·S ≤ ~16K tokens) and use the
+      tuple loop beyond (measured boundary in the same artifact).
 
     Returns (logits (B, T, vocab) float32, updated caches — same container).
     """

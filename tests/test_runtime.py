@@ -318,3 +318,13 @@ def test_batcher_pipelined_eos(tiny):
     by_id = {r.req_id: r.output for r in done}
     assert by_id[0] == [eos]
     assert len(by_id[1]) == 2
+
+
+def test_generate_stacked_kv_matches_tuple(tiny):
+    """generate(stacked_kv=True) (hybrid cache container) must produce the
+    same greedy tokens as the tuple-cache path."""
+    cfg, weights = tiny
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 5), 0, cfg.vocab_size)
+    r_tuple = generate(cfg, weights, prompt, max_new_tokens=4, **STRAT)
+    r_hyb = generate(cfg, weights, prompt, max_new_tokens=4, stacked_kv=True, **STRAT)
+    assert jnp.array_equal(r_tuple.tokens, r_hyb.tokens)

@@ -225,15 +225,26 @@ def generate(
     strategy: str = "auto",
     interpret: bool | None = None,
     jit: bool = True,
+    stacked_kv: bool = False,
 ) -> GenerationResult:
-    """Prefill the prompt, then decode ``max_new_tokens`` greedily/sampled."""
+    """Prefill the prompt, then decode ``max_new_tokens`` greedily/sampled.
+
+    ``stacked_kv=True`` serves the hybrid cache container (one stacked
+    (L, ...) cache, per-layer weight buffers): flash decode reads the int8
+    planes in place — +14% at B=1 7B long context
+    (artifacts/longctx_hybrid_r05.txt; keep stacked leaves < ~2 GiB)."""
     b, t0 = prompt.shape
     if t0 + max_new_tokens > cfg.max_seq:
         raise ValueError(
             f"prompt({t0}) + max_new({max_new_tokens}) exceeds max_seq={cfg.max_seq}"
         )
     key = key if key is not None else jax.random.PRNGKey(0)
-    caches = init_caches(cfg, b)
+    if stacked_kv:
+        from tpu_lutvq.models.llama import init_stacked_caches
+
+        caches = init_stacked_caches(cfg, b)
+    else:
+        caches = init_caches(cfg, b)
 
     prefill = functools.partial(
         llama_forward, cfg, strategy=strategy, interpret=interpret

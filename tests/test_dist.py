@@ -286,3 +286,35 @@ def test_tp_continuous_batching(model):
     out_tp = {r.req_id: r.output for r in b_tp.run(max_steps=20)}
     out_1 = {r.req_id: r.output for r in b_1.run(max_steps=20)}
     assert out_tp == out_1, (out_tp, out_1)
+
+
+def test_tp_hybrid_stacked_decode_matches_single_device(model):
+    """Hybrid stacked container under TP (init_tp_stacked_caches: ONE
+    (L, B, H, S, Dh) cache, heads sharded) must match the single-device
+    tuple path — the hybrid serving mode composes with tensor parallelism."""
+    from tpu_lutvq.dist.tp import init_tp_stacked_caches
+
+    cfg, weights = model
+    tp = 2
+    mesh = make_tp_mesh(tp)
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    step = make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True)
+
+    batch = 2
+    tokens = jnp.asarray([5, 9], jnp.int32)
+    pos = jnp.zeros((batch,), jnp.int32)
+    caches_tp = init_tp_stacked_caches(cfg, batch, mesh)
+    logits_tp, caches_tp = step(sharded, tokens, caches_tp, pos)
+    assert caches_tp.k_q.shape[0] == cfg.n_layers  # stacked container kept
+
+    caches_1 = init_caches(cfg, batch)
+    logits_1, _ = llama_decode_step(
+        cfg, weights, tokens, caches_1, pos, strategy="dequant_mm", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_1), rtol=2e-2, atol=2e-2
+    )
+    # second step to exercise the stacked cache-carry under the mesh
+    nxt = jnp.argmax(jnp.asarray(logits_tp), axis=-1).astype(jnp.int32)
+    logits2, _ = step(sharded, nxt, caches_tp, pos + 1)
+    assert np.all(np.isfinite(np.asarray(jax.device_get(logits2))))

@@ -201,6 +201,17 @@ def cache_specs(n_layers: int, axis: str = "tp") -> tuple[KVCache, ...]:
     return tuple(one for _ in range(n_layers))
 
 
+def stacked_cache_specs(axis: str = "tp") -> KVCache:
+    """Spec for the HYBRID stacked container (one KVCache, leading layer
+    axis: (L, B, H_kv, S, Dh)) — heads stay the TP-sharded axis."""
+    return KVCache(
+        k_q=P(None, None, axis, None, None),
+        v_q=P(None, None, axis, None, None),
+        k_scale=P(None, None, axis, None),
+        v_scale=P(None, None, axis, None),
+    )
+
+
 def paged_cache_specs(n_layers: int, axis: str = "tp"):
     """Paged pools shard on the HEAD axis (axis 1 of (N_blocks, H_kv, BS,
     Dh)); block tables are head-invariant, so they replicate — every device
@@ -219,7 +230,10 @@ def paged_cache_specs(n_layers: int, axis: str = "tp"):
 
 
 def _cache_specs_like(caches, axis: str):
-    """Spec tree matching a cache tuple of either kind (slab or paged)."""
+    """Spec tree matching any cache container: per-layer slab tuple, paged
+    pool tuple, or the hybrid stacked KVCache."""
+    if isinstance(caches, KVCache):  # hybrid stacked container
+        return stacked_cache_specs(axis)
     n_layers = len(caches)
     if type(caches[0]).__name__ == "PagedKVCache":
         return paged_cache_specs(n_layers, axis)
@@ -438,6 +452,20 @@ def init_tp_caches(cfg: LlamaConfig, batch: int, mesh: Mesh, axis: str = "tp"):
 
     caches = init_caches(cfg, batch)
     specs = cache_specs(cfg.n_layers, axis)
+    return jax.tree.map(
+        lambda c, s: _put_sharded(c, NamedSharding(mesh, s)), caches, specs
+    )
+
+
+def init_tp_stacked_caches(cfg: LlamaConfig, batch: int, mesh: Mesh,
+                           axis: str = "tp") -> KVCache:
+    """The hybrid stacked cache container sharded over heads on the TP axis
+    (llama_forward hybrid mode under shard_map: per-layer weight buffers +
+    one stacked (L, B, H, S, Dh) cache, flash reading planes in place)."""
+    from tpu_lutvq.models.llama import init_stacked_caches
+
+    caches = init_stacked_caches(cfg, batch)
+    specs = stacked_cache_specs(axis)
     return jax.tree.map(
         lambda c, s: _put_sharded(c, NamedSharding(mesh, s)), caches, specs
     )

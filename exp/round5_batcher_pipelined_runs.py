@@ -1,0 +1,14 @@
+import sys
+sys.path.insert(0, ".")
+from tpu_lutvq.bench import batcher
+from tpu_lutvq.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+# pipelined vs sequential, same session
+print("== slab exact, sequential ==", flush=True)
+batcher.run(model="1b", slots=8, n_requests=16, max_new=32, horizons=(8,))
+print("== slab exact, PIPELINED ==", flush=True)
+batcher.run(model="1b", slots=8, n_requests=16, max_new=32, horizons=(8,), pipeline=True)
+print("== slab fast, PIPELINED ==", flush=True)
+batcher.run(model="1b", slots=8, n_requests=16, max_new=32, horizons=(8,), quality="fast", pipeline=True)
+print("== paged exact, PIPELINED ==", flush=True)
+batcher.run(model="1b", slots=8, n_requests=16, max_new=32, horizons=(8,), paged_blocks=40, pipeline=True)

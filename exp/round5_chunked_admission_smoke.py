@@ -1,0 +1,27 @@
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp
+from tpu_lutvq.bench.e2e import MODELS
+from tpu_lutvq.models import LlamaConfig, init_llama
+from tpu_lutvq.runtime import ContinuousBatcher, Request
+from tpu_lutvq.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+cfg = LlamaConfig(**{**MODELS["1b"], "max_seq": 2048})
+
+@jax.jit
+def build(key):
+    return init_llama(key, cfg, dtype=jnp.float32)
+w = build(jax.random.PRNGKey(0))
+# long prompts through chunked admission (prefill_chunk=256), stacked_kv
+for kw, tag in ((dict(stacked_kv=True), "stacked"), (dict(), "tuple")):
+    b = ContinuousBatcher(cfg, w, n_slots=4, prefill_chunk=256, **kw)
+    for i in range(6):
+        b.submit(Request(req_id=i, prompt=[(3*i+j) % 100 for j in range(900)],
+                         max_new_tokens=16))
+    t0 = time.time()
+    done = b.run(horizon=8, pipeline=True)
+    dt = time.time() - t0
+    toks = sum(len(r.output) for r in done)
+    print(f"{tag}: {len(done)} reqs, {toks} tokens in {dt:.1f}s "
+          f"({toks/dt:.1f} tok/s) — chunked admission of 900-token prompts OK",
+          flush=True)

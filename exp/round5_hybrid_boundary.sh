@@ -1,0 +1,17 @@
+#!/bin/bash
+cd /root/repo
+for case in "loop 8 4096" "hybrid 4 4096" "hybrid 8 4096"; do
+  set -- $case
+  timeout 1200 python -u -c "
+import sys; sys.path.insert(0, '.')
+from tpu_lutvq.bench.e2e import run
+from tpu_lutvq.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+kw = dict(stacked_kv=True) if '$1' == 'hybrid' else {}
+try:
+    print('-- $1 B=$2 ctx=$3 --', flush=True)
+    run(model='7b', batch=$2, steps=32, attn='auto', ctx=$3, **kw)
+except Exception as e:
+    print(f'$1 B=$2 ctx=$3: FAILED {type(e).__name__}: {str(e)[:150]}', flush=True)
+" 2>&1 | grep -v WARNING
+done

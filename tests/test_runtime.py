@@ -328,3 +328,77 @@ def test_generate_stacked_kv_matches_tuple(tiny):
     r_tuple = generate(cfg, weights, prompt, max_new_tokens=4, **STRAT)
     r_hyb = generate(cfg, weights, prompt, max_new_tokens=4, stacked_kv=True, **STRAT)
     assert jnp.array_equal(r_tuple.tokens, r_hyb.tokens)
+
+
+@pytest.mark.parametrize("mode", ["slab", "stacked", "paged"])
+def test_batcher_wave_admission_matches_greedy(tiny, mode):
+    """Equal-length pending prompts must admit as ONE B=k wave dispatch
+    (batching.py _admit_wave_fifo) and still reproduce per-request greedy
+    generation exactly — slab, stacked (hybrid), and paged."""
+    cfg, weights = tiny
+    prompts = [[i + 1, i + 2, i + 3] for i in range(6)]
+    max_new = [4, 3, 5, 2, 4, 3]
+
+    singles = []
+    for p, mn in zip(prompts, max_new):
+        r = generate(cfg, weights, jnp.asarray([p], jnp.int32),
+                     max_new_tokens=mn, **STRAT)
+        singles.append(np.asarray(r.tokens[0, len(p):]).tolist())
+
+    kw = {}
+    if mode == "paged":
+        kw = dict(paged_blocks=24, paged_block_size=8)
+    elif mode == "stacked":
+        kw = dict(stacked_kv=True)
+    batcher = ContinuousBatcher(cfg, weights, n_slots=4, **kw, **STRAT)
+    for i, (p, mn) in enumerate(zip(prompts, max_new)):
+        batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+    done = batcher.run()
+    assert len(done) == 6
+    assert batcher.wave_admits >= 4  # the initial wave of 4 went batched
+    by_id = {r.req_id: r.output for r in done}
+    for i in range(6):
+        assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"
+
+
+def test_batcher_wave_fifo_order_with_mixed_lengths(tiny):
+    """The wave takes only the maximal same-length FIFO PREFIX: a
+    different-length request in front must not be overtaken, and everything
+    still matches greedy."""
+    cfg, weights = tiny
+    prompts = [[1, 2, 3], [4, 5, 6], [7, 8], [9, 10, 11]]
+    max_new = [3, 4, 3, 4]
+
+    singles = []
+    for p, mn in zip(prompts, max_new):
+        r = generate(cfg, weights, jnp.asarray([p], jnp.int32),
+                     max_new_tokens=mn, **STRAT)
+        singles.append(np.asarray(r.tokens[0, len(p):]).tolist())
+
+    batcher = ContinuousBatcher(cfg, weights, n_slots=4, **STRAT)
+    for i, (p, mn) in enumerate(zip(prompts, max_new)):
+        batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+    done = batcher.run()
+    assert len(done) == 4
+    assert batcher.wave_admits == 2  # only the len-3 prefix [0, 1] batched
+    by_id = {r.req_id: r.output for r in done}
+    for i in range(4):
+        assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"
+
+
+def test_batcher_wave_admission_pipelined(tiny):
+    """Wave admission composes with the pipelined scheduler + horizon roll."""
+    cfg, weights = tiny
+    prompts = [[i + 2, i + 5] for i in range(5)]
+    max_new = [4, 4, 3, 5, 2]
+
+    outs = {}
+    for pipeline in (False, True):
+        batcher = ContinuousBatcher(cfg, weights, n_slots=3, **STRAT)
+        for i, (p, mn) in enumerate(zip(prompts, max_new)):
+            batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+        done = batcher.run(horizon=2, pipeline=pipeline)
+        assert len(done) == 5
+        assert batcher.wave_admits >= 3
+        outs[pipeline] = {r.req_id: r.output for r in done}
+    assert outs[False] == outs[True], (outs[False], outs[True])

@@ -143,6 +143,7 @@ def run(
         batcher.run(horizon=horizon, pipeline=pipeline)
 
         submit_all(batcher)
+        batcher.wave_admits = 0  # count only the measured run's waves
         t0 = time.perf_counter()
         done = batcher.run(horizon=horizon, pipeline=pipeline)
         dt = time.perf_counter() - t0
@@ -161,6 +162,7 @@ def run(
                 "Tok_per_s": round(toks / dt, 1),
                 "Raw_tok_per_s": raw_tps,
                 "Overhead_pct": round(100 * (1 - (toks / dt) / raw_tps), 1),
+                "Wave_admits": batcher.wave_admits,
             }
         )
         print(
@@ -169,7 +171,8 @@ def run(
             f"{' PIPELINED' if pipeline else ''}: {toks} tokens in "
             f"{dt:.2f}s -> {toks/dt:.1f} tok/s delivered "
             f"(raw loop same-session: {raw_tps} tok/s, "
-            f"overhead {100 * (1 - (toks / dt) / raw_tps):.1f}%)",
+            f"overhead {100 * (1 - (toks / dt) / raw_tps):.1f}%, "
+            f"{batcher.wave_admits} wave admits)",
             flush=True,
         )
     return rows

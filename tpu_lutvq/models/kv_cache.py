@@ -203,6 +203,57 @@ def write_cache_slot_stacked(
     )
 
 
+def write_cache_slots(big: KVCache, small: KVCache, slots: jax.Array) -> KVCache:
+    """Copy a B=k cache (one admission WAVE's prefills, equal prompt length)
+    into slots ``slots`` (k,) of a batched cache in ONE scatter — the batched
+    form of :func:`write_cache_slot`.  Each admitted slot is overwritten
+    whole (rows past the prefill zeroed), bit-identical to k sequential
+    :func:`write_cache_slot` calls, so wave admission is exactly the
+    per-request admission it replaces (tests/test_runtime.py wave parity)."""
+    slots = jnp.asarray(slots, jnp.int32)
+    t = small.k_q.shape[2]
+    assert t <= big.max_seq
+    pad = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, big.max_seq - t)) + ((0, 0),) * (x.ndim - 3)
+    )
+    return KVCache(
+        k_q=big.k_q.at[slots].set(pad(small.k_q).astype(big.k_q.dtype)),
+        v_q=big.v_q.at[slots].set(pad(small.v_q).astype(big.v_q.dtype)),
+        k_scale=big.k_scale.at[slots].set(
+            pad(small.k_scale).astype(big.k_scale.dtype)
+        ),
+        v_scale=big.v_scale.at[slots].set(
+            pad(small.v_scale).astype(big.v_scale.dtype)
+        ),
+    )
+
+
+def write_cache_slots_stacked(
+    big: KVCache, small: KVCache, slots: jax.Array
+) -> KVCache:
+    """Batched-wave form of :func:`write_cache_slot_stacked`: scatter a
+    stacked (L, k, H, S', …) wave cache into slots ``slots`` of a stacked
+    (L, B, H, S, …) container, all layers and all k admissions in ONE
+    scatter."""
+    slots = jnp.asarray(slots, jnp.int32)
+    t = small.k_q.shape[3]
+    s = big.k_q.shape[3]
+    assert t <= s
+    pad = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, 0), (0, s - t)) + ((0, 0),) * (x.ndim - 4)
+    )
+    return KVCache(
+        k_q=big.k_q.at[:, slots].set(pad(small.k_q).astype(big.k_q.dtype)),
+        v_q=big.v_q.at[:, slots].set(pad(small.v_q).astype(big.v_q.dtype)),
+        k_scale=big.k_scale.at[:, slots].set(
+            pad(small.k_scale).astype(big.k_scale.dtype)
+        ),
+        v_scale=big.v_scale.at[:, slots].set(
+            pad(small.v_scale).astype(big.v_scale.dtype)
+        ),
+    )
+
+
 def write_cache_slot(big: KVCache, small: KVCache, slot: int | jax.Array) -> KVCache:
     """Copy a single-sequence cache (B=1) into slot ``slot`` of a batched
     cache (continuous batching admission)."""

@@ -142,6 +142,37 @@ class PagedKVCache(NamedTuple):
             v_scale=put3(self.v_scale, small.v_scale),
         )
 
+    def write_slots(self, small: KVCache, slots: jax.Array, t: int) -> "PagedKVCache":
+        """Batched admission WAVE: copy the first ``t`` rows of a B=k slab
+        cache (one wave's equal-length prefills) into slots ``slots`` (k,)
+        in ONE scatter — k :meth:`write_slot` calls fused (the slot tables
+        must already point at each slot's blocks)."""
+        bs = self.block_size
+        slots = jnp.asarray(slots, jnp.int32)
+        k = slots.shape[0]
+        rows = jnp.arange(t)
+        blk = self.block_tables[slots][:, rows // bs]  # (k, t)
+        off = rows % bs  # (t,)
+        h = self.k_pool.shape[1]
+        bi = blk.reshape(-1)[:, None]  # (k*t, 1)
+        hi = jnp.arange(h)[None, :]  # (1, H)
+        oi = jnp.tile(off, k)[:, None]  # (k*t, 1)
+        # small leaves: (k, H, S, Dh) / (k, H, S) → row-major (k*t, H, ...)
+        put4 = lambda pool, src: pool.at[bi, hi, oi].set(
+            jnp.transpose(src[:, :, :t], (0, 2, 1, 3))
+            .reshape(k * t, h, -1)
+            .astype(pool.dtype)
+        )
+        put3 = lambda pool, src: pool.at[bi, hi, oi].set(
+            jnp.transpose(src[:, :, :t], (0, 2, 1)).reshape(k * t, h)
+        )
+        return self._replace(
+            k_pool=put4(self.k_pool, small.k_q),
+            v_pool=put4(self.v_pool, small.v_q),
+            k_scale=put3(self.k_scale, small.k_scale),
+            v_scale=put3(self.v_scale, small.v_scale),
+        )
+
     def set_table(self, slot: int, blocks) -> "PagedKVCache":
         """Host-side table update (allocator): assign pool blocks to a slot."""
         blocks = jnp.asarray(blocks, jnp.int32)

@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_lutvq.models.kv_cache import write_cache_slot, write_cache_slot_stacked
+from tpu_lutvq.models.kv_cache import (
+    write_cache_slot,
+    write_cache_slot_stacked,
+    write_cache_slots,
+    write_cache_slots_stacked,
+)
 from tpu_lutvq.models.llama import (
     LlamaConfig,
     LlamaWeights,
@@ -208,7 +213,7 @@ class ContinuousBatcher:
                         )
                         new.append(pc.write_slot(sc, slot, t0))
                     tok = sample_logits_vec(logits, key, temp[None])
-                    return tok[0], tuple(new)
+                    return tok, tuple(new)
 
                 self._write_paged_sample = jax.jit(
                     write_paged_sample, donate_argnums=(0,),
@@ -226,7 +231,7 @@ class ContinuousBatcher:
                             for big, s in zip(caches, small)
                         )
                     tok = sample_logits_vec(logits, key, temp[None])
-                    return tok[0], caches
+                    return tok, caches
 
                 self._write_slot_sample = jax.jit(
                     write_slot_sample, donate_argnums=(0,)
@@ -237,6 +242,11 @@ class ContinuousBatcher:
         # ~n_layers x 35 ms of tunnel RTT per admission.
         self._admit_fused = None
         self._admit_paged = None
+        # batched admission wave (default device programs only): k pending
+        # equal-length prompts admit as ONE B=k prefill dispatch
+        self._admit_wave = None
+        self._admit_wave_paged = None
+        self.wave_admits = 0  # observability: requests admitted via waves
         if self.paged and prefill_fn is None:
             raw_prefill = functools.partial(
                 llama_forward, cfg, strategy=strategy, interpret=interpret,
@@ -254,10 +264,34 @@ class ContinuousBatcher:
                     )
                     new.append(pc.write_slot(sc, slot, t0))
                 tok = sample_logits_vec(logits[:, -1], key, temp[None])
-                return tok[0], tuple(new)
+                return tok, tuple(new)
 
             self._admit_paged = jax.jit(
                 admit_paged, donate_argnums=(2,), static_argnames=("t0",)
+            )
+
+            def admit_wave_paged(weights, prompts, caches, slots, table_rows,
+                                 temps, key, t0):
+                # one admission WAVE: k equal-length prompts prefill as ONE
+                # B=k dispatch, tables + pool rows + first tokens all set in
+                # the same program (k per-request admissions cost k
+                # dispatches; through the ~35 ms tunnel the wave costs one)
+                k = prompts.shape[0]
+                small = init_caches(cfg, k)
+                logits, small = raw_prefill(
+                    weights, prompts, small, jnp.int32(0), logits_mode="last"
+                )
+                new = []
+                for pc, sc in zip(caches, small):
+                    pc = pc._replace(
+                        block_tables=pc.block_tables.at[slots].set(table_rows)
+                    )
+                    new.append(pc.write_slots(sc, slots, t0))
+                toks = sample_logits_vec(logits[:, -1], key, temps)
+                return toks, tuple(new)
+
+            self._admit_wave_paged = jax.jit(
+                admit_wave_paged, donate_argnums=(2,), static_argnames=("t0",)
             )
         elif self.paged:
             # injected (TP) programs: prefill runs separately; this writes the
@@ -289,9 +323,21 @@ class ContinuousBatcher:
                 logits, small = raw_prefill(weights, prompt, small, jnp.int32(0))
                 caches = write_cache_slot_stacked(caches, small, slot)
                 tok = sample_logits_vec(logits[:, -1], key, temp[None])
-                return tok[0], caches
+                return tok, caches
 
             self._admit_fused = jax.jit(admit_one_stacked, donate_argnums=(2,))
+
+            def admit_wave_stacked(weights, prompts, caches, slots, temps, key):
+                k = prompts.shape[0]
+                small = init_stacked_caches(cfg, k)
+                logits, small = raw_prefill(
+                    weights, prompts, small, jnp.int32(0), logits_mode="last"
+                )
+                caches = write_cache_slots_stacked(caches, small, slots)
+                toks = sample_logits_vec(logits[:, -1], key, temps)
+                return toks, caches
+
+            self._admit_wave = jax.jit(admit_wave_stacked, donate_argnums=(2,))
         elif prefill_fn is None and cache_factory is init_caches:
             raw_prefill = functools.partial(
                 llama_forward, cfg, strategy=strategy, interpret=interpret,
@@ -306,9 +352,26 @@ class ContinuousBatcher:
                     for big, s in zip(caches, small)
                 )
                 tok = sample_logits_vec(logits[:, -1], key, temp[None])
-                return tok[0], caches
+                return tok, caches
 
             self._admit_fused = jax.jit(admit_one, donate_argnums=(2,))
+
+            def admit_wave(weights, prompts, caches, slots, temps, key):
+                # one admission WAVE (see admit_wave_paged): B=k prefill +
+                # k-slot scatter + k first tokens in ONE dispatch
+                k = prompts.shape[0]
+                small = init_caches(cfg, k)
+                logits, small = raw_prefill(
+                    weights, prompts, small, jnp.int32(0), logits_mode="last"
+                )
+                caches = tuple(
+                    write_cache_slots(big, s, slots)
+                    for big, s in zip(caches, small)
+                )
+                toks = sample_logits_vec(logits[:, -1], key, temps)
+                return toks, caches
+
+            self._admit_wave = jax.jit(admit_wave, donate_argnums=(2,))
         # multi-step horizon roll (default device programs only): ``horizon``
         # decode steps + on-device sampling fused in ONE dispatch via
         # lax.scan — through the ~35 ms tunnel a horizon of 8 cuts host
@@ -436,9 +499,12 @@ class ContinuousBatcher:
         cost a ~35 ms tunnel RTT serialized with decode; VERDICT r3 weak #7:
         the batcher delivered 69% of its own decode loop).  Injected (TP)
         programs keep the blocking route.  Returns the deferred admissions
-        as (slot, request, first-token device scalar).
+        as GROUPS (slots, requests, first-token device vector): a batched
+        wave (:meth:`_admit_wave_fifo`) contributes one group of k,
+        per-request admissions one group of 1 each.
         """
-        deferred: list[tuple[int, Request, jax.Array]] = []
+        deferred: list[tuple[list[int], list[Request], jax.Array]] = []
+        deferred += self._admit_wave_fifo()
         for slot in range(self.n_slots):
             if self.active[slot] is not None or not self.pending:
                 continue
@@ -477,7 +543,7 @@ class ContinuousBatcher:
                     )
                     self.active[slot] = req
                     self.slot_pos[slot] = len(req.prompt) + 1
-                    deferred.append((slot, req, tok_dev))
+                    deferred.append(([slot], [req], tok_dev))
                     continue
                 if self._admit_paged is not None:
                     tok_dev, self.caches = self._admit_paged(
@@ -487,7 +553,7 @@ class ContinuousBatcher:
                     )
                     self.active[slot] = req
                     self.slot_pos[slot] = len(req.prompt) + 1
-                    deferred.append((slot, req, tok_dev))
+                    deferred.append(([slot], [req], tok_dev))
                     continue
                 else:  # injected (TP) programs: prefill small slab, then copy
                     small = self._cache_factory(self.cfg, 1)
@@ -510,7 +576,7 @@ class ContinuousBatcher:
                 )
                 self.active[slot] = req
                 self.slot_pos[slot] = len(req.prompt) + 1
-                deferred.append((slot, req, tok_dev))
+                deferred.append(([slot], [req], tok_dev))
                 continue
             elif self._admit_fused is not None:
                 tok_dev, self.caches = self._admit_fused(
@@ -519,7 +585,7 @@ class ContinuousBatcher:
                 )
                 self.active[slot] = req
                 self.slot_pos[slot] = len(req.prompt) + 1
-                deferred.append((slot, req, tok_dev))
+                deferred.append(([slot], [req], tok_dev))
                 continue
             else:  # injected device programs (TP): unfused admission
                 small = self._cache_factory(self.cfg, 1)
@@ -540,6 +606,84 @@ class ContinuousBatcher:
                 self.completed.append(req)
                 self._release_slot(slot)
         return deferred
+
+    def _admit_wave_fifo(self):
+        """Batched admission wave (default device programs only).
+
+        Take the maximal FIFO prefix of ``pending`` whose requests share one
+        prompt length and are wave-eligible (short enough for the fused
+        prefill; paged: pool blocks available), capped at the number of free
+        slots; if that prefix has ≥ 2 requests, admit them ALL as one B=k
+        prefill dispatch (``admit_wave`` / ``admit_wave_paged``) — k
+        per-request admissions cost k dispatches, the dominant residual
+        scheduler overhead through the ~35 ms tunnel once decode ticks are
+        pipelined (artifacts/batcher_r05.txt: 16 admissions per run).
+        Stopping at the first length mismatch preserves strict FIFO order —
+        a later same-length request is never admitted past an earlier
+        different-length one (that one falls through to the per-request
+        loop in :meth:`_admit` this same tick)."""
+        prog = self._admit_wave_paged if self.paged else self._admit_wave
+        if prog is None or len(self.pending) < 2:
+            return []
+        free = [i for i, r in enumerate(self.active) if r is None]
+        if len(free) < 2:
+            return []
+        t0 = len(self.pending[0].prompt)
+        if self._chunked_prefill is not None and t0 > self._prefill_chunk:
+            return []  # long prompts keep the per-request chunked admission
+        k = 0
+        for req in self.pending[: len(free)]:
+            if len(req.prompt) != t0:
+                break
+            k += 1
+        if k < 2:
+            return []
+        admitted_blocks = None
+        table_rows = None
+        if self.paged:
+            # allocate per request in FIFO order; stop at pool exhaustion
+            # (backpressure — the rest waits exactly as in the loop route)
+            admitted_blocks = []
+            for req in self.pending[:k]:
+                need = min(
+                    -(-(t0 + req.max_new_tokens) // self._bs) + 1,
+                    self._max_blocks,
+                )
+                if need > len(self._alloc.free):
+                    break
+                admitted_blocks.append(self._alloc.alloc(need))
+            if len(admitted_blocks) < 2:
+                for blocks in admitted_blocks:
+                    self._alloc.release(blocks)
+                return []
+            k = len(admitted_blocks)
+            table_rows = np.zeros((k, self._max_blocks), np.int32)
+            for j, blocks in enumerate(admitted_blocks):
+                table_rows[j, : len(blocks)] = blocks
+        reqs = [self.pending.pop(0) for _ in range(k)]
+        slots = free[:k]
+        prompts = jnp.asarray([r.prompt for r in reqs], jnp.int32)
+        temps = jnp.asarray([r.temperature for r in reqs], jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        if self.paged:
+            for slot, blocks in zip(slots, admitted_blocks):
+                self._slot_blocks[slot] = blocks
+                self._slot_capacity[slot] = len(blocks) * self._bs
+            toks, self.caches = self._admit_wave_paged(
+                self.weights, prompts, self.caches,
+                jnp.asarray(slots, jnp.int32), jnp.asarray(table_rows),
+                temps, sub, t0=t0,
+            )
+        else:
+            toks, self.caches = self._admit_wave(
+                self.weights, prompts, self.caches,
+                jnp.asarray(slots, jnp.int32), temps, sub,
+            )
+        for slot, req in zip(slots, reqs):
+            self.active[slot] = req
+            self.slot_pos[slot] = t0 + 1
+        self.wave_admits += k
+        return [(slots, reqs, toks)]
 
     def _maybe_finish(self, req: Request, slot_len: int) -> None:
         if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
@@ -577,7 +721,7 @@ class ContinuousBatcher:
         tokens = np.zeros(self.n_slots, np.int32)
         pos = np.zeros(self.n_slots, np.int32)
         temps = np.zeros(self.n_slots, np.float32)
-        new_slots = {s for s, _, _ in deferred}
+        new_slots = {s for g_slots, _, _ in deferred for s in g_slots}
         chained = []  # slots whose token comes from prev's device output
         for i in slots:
             if i in new_slots:
@@ -634,12 +778,12 @@ class ContinuousBatcher:
             if chained:
                 idx = jnp.asarray(chained, jnp.int32)
                 tok_vec = tok_vec.at[idx].set(prev["toks"][-1][idx])
-        if deferred:
+        for g_slots, _, g_toks in deferred:
             # fold the admission first-tokens in ON DEVICE (tiny async
-            # scatter — no host sync before the decode dispatch)
-            idx = jnp.asarray([s for s, _, _ in deferred], jnp.int32)
-            vals = jnp.stack([t for _, _, t in deferred]).astype(jnp.int32)
-            tok_vec = tok_vec.at[idx].set(vals)
+            # scatter per admission group — no host sync before the decode
+            # dispatch; a wave's k tokens arrive as one vector)
+            idx = jnp.asarray(g_slots, jnp.int32)
+            tok_vec = tok_vec.at[idx].set(g_toks.astype(jnp.int32))
         if horizon > 1 and self._roll is not None:
             toks, self.caches = self._roll(
                 self.weights, tok_vec, self.caches, jnp.asarray(pos),
@@ -665,12 +809,13 @@ class ContinuousBatcher:
         deferred = ticket["deferred"]
         # ONE host fetch: step tokens + any deferred admission first-tokens
         toks, first = jax.device_get(
-            (ticket["toks"], [t for _, _, t in deferred])
+            (ticket["toks"], [g[2] for g in deferred])
         )
         toks = np.asarray(toks)  # (horizon|1, B)
-        for (i, req, _), tok in zip(deferred, first):
-            req.output.append(int(tok))
-            self._maybe_finish(req, slot_len=int(self.slot_pos[i]))
+        for (g_slots, g_reqs, _), g_toks in zip(deferred, first):
+            for i, req, tok in zip(g_slots, g_reqs, np.asarray(g_toks)):
+                req.output.append(int(tok))
+                self._maybe_finish(req, slot_len=int(self.slot_pos[i]))
         for i in ticket["slots"]:
             req = ticket["reqs"][i]
             if self.active[i] is not req:

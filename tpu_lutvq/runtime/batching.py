@@ -35,7 +35,7 @@ from tpu_lutvq.models.llama import (
     llama_decode_step,
     llama_forward,
 )
-from tpu_lutvq.runtime.generate import sample_logits, sample_logits_vec
+from tpu_lutvq.runtime.generate import sample_logits_vec
 
 
 @dataclasses.dataclass
@@ -246,6 +246,8 @@ class ContinuousBatcher:
         # equal-length prompts admit as ONE B=k prefill dispatch
         self._admit_wave = None
         self._admit_wave_paged = None
+        self._write_slab_sample = None
+        self._write_paged_sample_tp = None
         self.wave_admits = 0  # observability: requests admitted via waves
         if self.paged and prefill_fn is None:
             raw_prefill = functools.partial(
@@ -295,20 +297,25 @@ class ContinuousBatcher:
             )
         elif self.paged:
             # injected (TP) programs: prefill runs separately; this writes the
-            # admitted slot's table + cache rows in one dispatch.  Pure jnp
-            # scatters on head-sharded pools with replicated indices — GSPMD
-            # partitions them without a shard_map.
-            def write_paged(caches, small, slot, table_row, t0):
+            # admitted slot's table + cache rows AND samples the first token
+            # in one dispatch (pure jnp scatters on head-sharded pools with
+            # replicated indices — GSPMD partitions them without a
+            # shard_map).  The token is DEFERRED like the default route's —
+            # TP admission previously blocked on one host fetch per request.
+            def write_paged_sample_tp(caches, small, slot, table_row, logits,
+                                      temp, key, t0):
                 new = []
                 for pc, sc in zip(caches, small):
                     pc = pc._replace(
                         block_tables=pc.block_tables.at[slot].set(table_row)
                     )
                     new.append(pc.write_slot(sc, slot, t0))
-                return tuple(new)
+                tok = sample_logits_vec(logits, key, temp[None])
+                return tok, tuple(new)
 
-            self._write_paged = jax.jit(
-                write_paged, donate_argnums=(0,), static_argnames=("t0",)
+            self._write_paged_sample_tp = jax.jit(
+                write_paged_sample_tp, donate_argnums=(0,),
+                static_argnames=("t0",),
             )
         elif prefill_fn is None and self._stacked_kv:
             from tpu_lutvq.models.llama import init_stacked_caches
@@ -372,6 +379,24 @@ class ContinuousBatcher:
                 return toks, caches
 
             self._admit_wave = jax.jit(admit_wave, donate_argnums=(2,))
+        elif not self.paged:
+            # injected (TP) slab programs or a custom cache factory: the
+            # prefill runs separately, but the per-layer slot writes + the
+            # first-token sample still fuse into ONE jitted dispatch (the
+            # old eager route cost n_layers un-jitted device ops per
+            # admission — ~n_layers × 35 ms through the tunnel), and the
+            # token is DEFERRED like every other route.
+            def write_slab_sample(caches, small, slot, logits, temp, key):
+                caches = tuple(
+                    write_cache_slot(big, s, slot)
+                    for big, s in zip(caches, small)
+                )
+                tok = sample_logits_vec(logits, key, temp[None])
+                return tok, caches
+
+            self._write_slab_sample = jax.jit(
+                write_slab_sample, donate_argnums=(0,)
+            )
         # multi-step horizon roll (default device programs only): ``horizon``
         # decode steps + on-device sampling fused in ONE dispatch via
         # lax.scan — through the ~35 ms tunnel a horizon of 8 cuts host
@@ -488,20 +513,22 @@ class ContinuousBatcher:
             self._clear_table = jax.jit(clear, donate_argnums=(0,))
         self.caches = self._clear_table(self.caches, jnp.int32(slot))
 
-    def _admit(self) -> list[tuple[int, "Request", jax.Array]]:
+    def _admit(self) -> list[tuple[list[int], list[Request], jax.Array]]:
         """Admit pending requests into free slots.
 
-        Fused admission programs (the default, non-TP route) are DISPATCHED
-        here but their first-token fetch is DEFERRED: the caller folds the
-        device scalars into the decode step's token vector on device and
-        fetches them together with the step's output — one host round-trip
-        per tick instead of one per admission (each blocking ``int(tok)``
-        cost a ~35 ms tunnel RTT serialized with decode; VERDICT r3 weak #7:
-        the batcher delivered 69% of its own decode loop).  Injected (TP)
-        programs keep the blocking route.  Returns the deferred admissions
-        as GROUPS (slots, requests, first-token device vector): a batched
-        wave (:meth:`_admit_wave_fifo`) contributes one group of k,
-        per-request admissions one group of 1 each.
+        Admissions are DISPATCHED here but every first-token fetch is
+        DEFERRED: the caller folds the device tokens into the decode step's
+        token vector on device and fetches them together with the step's
+        output — one host round-trip per tick instead of one per admission
+        (each blocking ``int(tok)`` cost a ~35 ms tunnel RTT serialized
+        with decode; VERDICT r3 weak #7: the batcher delivered 69% of its
+        own decode loop).  Default device programs fuse prefill + slot
+        scatter + sample in one dispatch; injected (TP) programs prefill
+        separately, then one jitted dispatch does all layer writes + the
+        sample.  Returns the deferred admissions as GROUPS (slots,
+        requests, first-token device vector): a batched wave
+        (:meth:`_admit_wave_fifo`) contributes one group of k, per-request
+        admissions one group of 1 each.
         """
         deferred: list[tuple[list[int], list[Request], jax.Array]] = []
         deferred += self._admit_wave_fifo()
@@ -555,16 +582,22 @@ class ContinuousBatcher:
                     self.slot_pos[slot] = len(req.prompt) + 1
                     deferred.append(([slot], [req], tok_dev))
                     continue
-                else:  # injected (TP) programs: prefill small slab, then copy
+                else:  # injected (TP) programs: prefill small slab, then ONE
+                    # dispatch writes table + pool rows + samples; token
+                    # deferred (no per-admission host fetch)
                     small = self._cache_factory(self.cfg, 1)
                     logits, small = self._prefill(
                         self.weights, prompt, small, jnp.zeros((1,), jnp.int32)
                     )
-                    self.caches = self._write_paged(
+                    tok_dev, self.caches = self._write_paged_sample_tp(
                         self.caches, small, jnp.int32(slot),
-                        jnp.asarray(table_row), t0=t0,
+                        jnp.asarray(table_row), logits[:, -1],
+                        jnp.float32(req.temperature), sub, t0=t0,
                     )
-                    tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
+                    self.active[slot] = req
+                    self.slot_pos[slot] = len(req.prompt) + 1
+                    deferred.append(([slot], [req], tok_dev))
+                    continue
             elif use_chunked and self._write_slot_sample is not None:
                 small = self._cache_factory(self.cfg, 1)
                 logits, small = self._chunked_prefill(
@@ -587,24 +620,21 @@ class ContinuousBatcher:
                 self.slot_pos[slot] = len(req.prompt) + 1
                 deferred.append(([slot], [req], tok_dev))
                 continue
-            else:  # injected device programs (TP): unfused admission
+            else:  # injected device programs (TP): prefill separately, then
+                # ONE dispatch for all layer writes + the sample; token
+                # deferred (the old route cost n_layers un-jitted device ops
+                # plus a blocking host fetch per admission)
                 small = self._cache_factory(self.cfg, 1)
                 logits, small = self._prefill(
                     self.weights, prompt, small, jnp.int32(0)
                 )
-                self.caches = tuple(
-                    write_cache_slot(big, s, slot)
-                    for big, s in zip(self.caches, small)
+                tok_dev, self.caches = self._write_slab_sample(
+                    self.caches, small, jnp.int32(slot), logits[:, -1],
+                    jnp.float32(req.temperature), sub,
                 )
-                tok = int(sample_logits(logits[:, -1], sub, req.temperature)[0])
-            req.output.append(tok)
-            self._maybe_finish(req, slot_len=len(req.prompt) + 1)
-            if not req.done:
                 self.active[slot] = req
                 self.slot_pos[slot] = len(req.prompt) + 1
-            else:
-                self.completed.append(req)
-                self._release_slot(slot)
+                deferred.append(([slot], [req], tok_dev))
         return deferred
 
     def _admit_wave_fifo(self):

@@ -318,3 +318,41 @@ def test_tp_hybrid_stacked_decode_matches_single_device(model):
     nxt = jnp.argmax(jnp.asarray(logits_tp), axis=-1).astype(jnp.int32)
     logits2, _ = step(sharded, nxt, caches_tp, pos + 1)
     assert np.all(np.isfinite(np.asarray(jax.device_get(logits2))))
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_tp_wave_admission_matches_single_device(model, paged):
+    """Batched admission waves over TP-injected programs (B=k TP prefill +
+    one write+sample wave dispatch) must match the single-device batcher —
+    and the wave path must actually be taken."""
+    from tpu_lutvq.dist.tp import init_tp_caches, init_tp_paged_caches
+    from tpu_lutvq.runtime import ContinuousBatcher, Request
+
+    cfg, weights = model
+    mesh = make_tp_mesh(2)
+    sharded = shard_llama_tp(cfg, weights, mesh)
+    kw_tp = dict(
+        prefill_fn=make_tp_prefill(cfg, mesh, strategy="dequant_mm", interpret=True),
+        step_fn=make_tp_decode_step(cfg, mesh, strategy="dequant_mm", interpret=True),
+        cache_factory=lambda c, n: init_tp_caches(c, n, mesh),
+    )
+    kw_1 = {}
+    if paged:
+        kw_tp.update(
+            paged_blocks=12, paged_block_size=16,
+            paged_cache_factory=lambda c, nb, ns: init_tp_paged_caches(
+                c, nb, ns, mesh, block_size=16
+            ),
+        )
+        kw_1 = dict(paged_blocks=12, paged_block_size=16)
+    b_tp = ContinuousBatcher(cfg, sharded, n_slots=2, **kw_tp)
+    b_1 = ContinuousBatcher(cfg, weights, n_slots=2, strategy="dequant_mm",
+                            interpret=True, **kw_1)
+    prompts = [[1, 2, 3], [4, 5, 6], [7, 8, 9]]  # equal length → wave of 2
+    for i, p in enumerate(prompts):
+        b_tp.submit(Request(i, list(p), 3))
+        b_1.submit(Request(i, list(p), 3))
+    out_tp = {r.req_id: r.output for r in b_tp.run(max_steps=20)}
+    out_1 = {r.req_id: r.output for r in b_1.run(max_steps=20)}
+    assert b_tp.wave_admits >= 2, b_tp.wave_admits
+    assert out_tp == out_1, (out_tp, out_1)

@@ -242,12 +242,15 @@ class ContinuousBatcher:
         # ~n_layers x 35 ms of tunnel RTT per admission.
         self._admit_fused = None
         self._admit_paged = None
-        # batched admission wave (default device programs only): k pending
-        # equal-length prompts admit as ONE B=k prefill dispatch
+        # batched admission wave: k pending equal-length prompts admit as
+        # ONE B=k prefill dispatch (fused for default programs; injected TP
+        # programs prefill at B=k then one write+sample wave dispatch)
         self._admit_wave = None
         self._admit_wave_paged = None
         self._write_slab_sample = None
         self._write_paged_sample_tp = None
+        self._write_slab_sample_wave = None
+        self._write_paged_sample_tp_wave = None
         self.wave_admits = 0  # observability: requests admitted via waves
         if self.paged and prefill_fn is None:
             raw_prefill = functools.partial(
@@ -315,6 +318,24 @@ class ContinuousBatcher:
 
             self._write_paged_sample_tp = jax.jit(
                 write_paged_sample_tp, donate_argnums=(0,),
+                static_argnames=("t0",),
+            )
+
+            def write_paged_sample_tp_wave(caches, small, slots, table_rows,
+                                           logits, temps, key, t0):
+                # wave form: the injected prefill is batch-generic, so one
+                # B=k TP prefill + this one dispatch admit k requests
+                new = []
+                for pc, sc in zip(caches, small):
+                    pc = pc._replace(
+                        block_tables=pc.block_tables.at[slots].set(table_rows)
+                    )
+                    new.append(pc.write_slots(sc, slots, t0))
+                toks = sample_logits_vec(logits, key, temps)
+                return toks, tuple(new)
+
+            self._write_paged_sample_tp_wave = jax.jit(
+                write_paged_sample_tp_wave, donate_argnums=(0,),
                 static_argnames=("t0",),
             )
         elif prefill_fn is None and self._stacked_kv:
@@ -396,6 +417,19 @@ class ContinuousBatcher:
 
             self._write_slab_sample = jax.jit(
                 write_slab_sample, donate_argnums=(0,)
+            )
+
+            def write_slab_sample_wave(caches, small, slots, logits, temps,
+                                       key):
+                caches = tuple(
+                    write_cache_slots(big, s, slots)
+                    for big, s in zip(caches, small)
+                )
+                toks = sample_logits_vec(logits, key, temps)
+                return toks, caches
+
+            self._write_slab_sample_wave = jax.jit(
+                write_slab_sample_wave, donate_argnums=(0,)
             )
         # multi-step horizon roll (default device programs only): ``horizon``
         # decode steps + on-device sampling fused in ONE dispatch via
@@ -638,13 +672,15 @@ class ContinuousBatcher:
         return deferred
 
     def _admit_wave_fifo(self):
-        """Batched admission wave (default device programs only).
+        """Batched admission wave.
 
         Take the maximal FIFO prefix of ``pending`` whose requests share one
         prompt length and are wave-eligible (short enough for the fused
         prefill; paged: pool blocks available), capped at the number of free
         slots; if that prefix has ≥ 2 requests, admit them ALL as one B=k
-        prefill dispatch (``admit_wave`` / ``admit_wave_paged``) — k
+        prefill dispatch (``admit_wave`` / ``admit_wave_paged``; injected
+        (TP) programs run their batch-generic prefill at B=k followed by
+        one write+sample wave dispatch) — k
         per-request admissions cost k dispatches, the dominant residual
         scheduler overhead through the ~35 ms tunnel once decode ticks are
         pipelined (artifacts/batcher_r05.txt: 16 admissions per run).
@@ -652,8 +688,17 @@ class ContinuousBatcher:
         a later same-length request is never admitted past an earlier
         different-length one (that one falls through to the per-request
         loop in :meth:`_admit` this same tick)."""
-        prog = self._admit_wave_paged if self.paged else self._admit_wave
-        if prog is None or len(self.pending) < 2:
+        if self.paged:
+            have_wave = (
+                self._admit_wave_paged is not None
+                or self._write_paged_sample_tp_wave is not None
+            )
+        else:
+            have_wave = (
+                self._admit_wave is not None
+                or self._write_slab_sample_wave is not None
+            )
+        if not have_wave or len(self.pending) < 2:
             return []
         free = [i for i, r in enumerate(self.active) if r is None]
         if len(free) < 2:
@@ -699,15 +744,34 @@ class ContinuousBatcher:
             for slot, blocks in zip(slots, admitted_blocks):
                 self._slot_blocks[slot] = blocks
                 self._slot_capacity[slot] = len(blocks) * self._bs
-            toks, self.caches = self._admit_wave_paged(
-                self.weights, prompts, self.caches,
-                jnp.asarray(slots, jnp.int32), jnp.asarray(table_rows),
-                temps, sub, t0=t0,
-            )
-        else:
+            if self._admit_wave_paged is not None:
+                toks, self.caches = self._admit_wave_paged(
+                    self.weights, prompts, self.caches,
+                    jnp.asarray(slots, jnp.int32), jnp.asarray(table_rows),
+                    temps, sub, t0=t0,
+                )
+            else:  # injected (TP): B=k prefill, then one write+sample wave
+                small = self._cache_factory(self.cfg, k)
+                logits, small = self._prefill(
+                    self.weights, prompts, small, jnp.zeros((k,), jnp.int32)
+                )
+                toks, self.caches = self._write_paged_sample_tp_wave(
+                    self.caches, small, jnp.asarray(slots, jnp.int32),
+                    jnp.asarray(table_rows), logits[:, -1], temps, sub, t0=t0,
+                )
+        elif self._admit_wave is not None:
             toks, self.caches = self._admit_wave(
                 self.weights, prompts, self.caches,
                 jnp.asarray(slots, jnp.int32), temps, sub,
+            )
+        else:  # injected (TP) slab: B=k prefill, then one write+sample wave
+            small = self._cache_factory(self.cfg, k)
+            logits, small = self._prefill(
+                self.weights, prompts, small, jnp.zeros((k,), jnp.int32)
+            )
+            toks, self.caches = self._write_slab_sample_wave(
+                self.caches, small, jnp.asarray(slots, jnp.int32),
+                logits[:, -1], temps, sub,
             )
         for slot, req in zip(slots, reqs):
             self.active[slot] = req

@@ -361,12 +361,15 @@ def test_batcher_wave_admission_matches_greedy(tiny, mode):
         assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"
 
 
-def test_batcher_wave_fifo_order_with_mixed_lengths(tiny):
-    """The wave takes only the maximal same-length FIFO PREFIX: a
-    different-length request in front must not be overtaken, and everything
-    still matches greedy."""
+@pytest.mark.parametrize("mode", ["slab", "stacked", "paged"])
+def test_batcher_ragged_wave_mixed_lengths_matches_greedy(tiny, mode):
+    """RAGGED waves: pending prompts of DIFFERENT lengths admit together as
+    ONE padded B=k dispatch (the realistic-traffic case — the equal-length
+    wave almost never fired on real request streams) and each request still
+    reproduces its per-request greedy tokens exactly (its first token is
+    sampled from its own last real position; pad rows are never read)."""
     cfg, weights = tiny
-    prompts = [[1, 2, 3], [4, 5, 6], [7, 8], [9, 10, 11]]
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8], [7, 8], [9, 10, 11, 12]]
     max_new = [3, 4, 3, 4]
 
     singles = []
@@ -375,14 +378,46 @@ def test_batcher_wave_fifo_order_with_mixed_lengths(tiny):
                      max_new_tokens=mn, **STRAT)
         singles.append(np.asarray(r.tokens[0, len(p):]).tolist())
 
-    batcher = ContinuousBatcher(cfg, weights, n_slots=4, **STRAT)
+    kw = {}
+    if mode == "paged":
+        kw = dict(paged_blocks=24, paged_block_size=8)
+    elif mode == "stacked":
+        kw = dict(stacked_kv=True)
+    batcher = ContinuousBatcher(cfg, weights, n_slots=4, **kw, **STRAT)
     for i, (p, mn) in enumerate(zip(prompts, max_new)):
         batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
     done = batcher.run()
     assert len(done) == 4
-    assert batcher.wave_admits == 2  # only the len-3 prefix [0, 1] batched
+    assert batcher.wave_admits == 4  # all four lengths rode ONE wave
     by_id = {r.req_id: r.output for r in done}
     for i in range(4):
+        assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"
+
+
+def test_batcher_wave_fifo_long_prompt_not_overtaken(tiny):
+    """FIFO pin: a chunked-length prompt at the head of the queue stops the
+    wave prefix — later short requests are never batch-admitted past it
+    (they fall to the per-request loop the same tick), and outputs still
+    match greedy."""
+    cfg, weights = tiny
+    prompts = [[1, 2, 3, 4, 5, 6], [4, 5], [7, 8]]
+    max_new = [3, 3, 3]
+
+    singles = []
+    for p, mn in zip(prompts, max_new):
+        r = generate(cfg, weights, jnp.asarray([p], jnp.int32),
+                     max_new_tokens=mn, **STRAT)
+        singles.append(np.asarray(r.tokens[0, len(p):]).tolist())
+
+    batcher = ContinuousBatcher(cfg, weights, n_slots=3, prefill_chunk=4,
+                                **STRAT)
+    for i, (p, mn) in enumerate(zip(prompts, max_new)):
+        batcher.submit(Request(req_id=i, prompt=p, max_new_tokens=mn))
+    done = batcher.run()
+    assert len(done) == 3
+    assert batcher.wave_admits == 0  # head-of-line long prompt blocked waves
+    by_id = {r.req_id: r.output for r in done}
+    for i in range(3):
         assert by_id[i] == singles[i], f"request {i}: {by_id[i]} != {singles[i]}"
 
 

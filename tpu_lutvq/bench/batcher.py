@@ -87,7 +87,14 @@ def run(
     attn: str = "auto",
     quality: str = "exact",
     pipeline: bool = False,
+    ragged: bool = False,
 ) -> list[dict]:
+    """``ragged=True`` submits MIXED prompt lengths (prompt_len-2 …
+    prompt_len+5 cycling) — the realistic-traffic shape.  Ragged admission
+    waves (batching.py _admit_wave_fifo) pad the FIFO prefix to a shared
+    power-of-two bucket and still admit it as ONE B=k dispatch; the r5a
+    equal-length wave fell back to k per-request dispatches on this
+    workload."""
     cfg = LlamaConfig(**MODELS[model])
 
     @jax.jit
@@ -121,22 +128,30 @@ def run(
 
         def submit_all(b):
             for i in range(n_requests):
+                plen = prompt_len
+                if ragged:  # mixed lengths, cycling -2..+5 around prompt_len
+                    plen = max(1, prompt_len + ((3 * i) % 8) - 2)
                 b.submit(
                     Request(
                         req_id=i,
                         prompt=[
-                            (7 * i + j) % cfg.vocab_size for j in range(prompt_len)
+                            (7 * i + j) % cfg.vocab_size for j in range(plen)
                         ],
                         max_new_tokens=max_new,
                     )
                 )
 
         # warm pass compiles prefill/step/roll at the exact serving shapes
+        # (ragged: same mixed-length cycle, so the measured run's wave
+        # buckets and wave widths are already compiled)
         for i in range(slots):
+            plen = prompt_len
+            if ragged:
+                plen = max(1, prompt_len + ((3 * i) % 8) - 2)
             batcher.submit(
                 Request(
                     req_id=-1 - i,
-                    prompt=list(range(prompt_len)),
+                    prompt=list(range(plen)),
                     max_new_tokens=max(2, 2 * horizon),
                 )
             )
@@ -157,6 +172,7 @@ def run(
                 "Horizon": horizon,
                 "Requests": n_requests,
                 "Pipeline": pipeline,
+                "Ragged": ragged,
                 "Tokens": toks,
                 "Wall_s": round(dt, 3),
                 "Tok_per_s": round(toks / dt, 1),
@@ -198,6 +214,9 @@ def main() -> None:
                     help="'fast' lets auto serve the W8A8 i8 weight path")
     ap.add_argument("--pipeline", action="store_true",
                     help="overlap tick k+1 dispatch with tick k's fetch")
+    ap.add_argument("--ragged", action="store_true",
+                    help="mixed prompt lengths (realistic traffic; exercises "
+                         "the padded ragged admission waves)")
     args = ap.parse_args()
     rows = run(
         model=args.model,
@@ -211,6 +230,7 @@ def main() -> None:
         attn=args.attn,
         quality=args.quality,
         pipeline=args.pipeline,
+        ragged=args.ragged,
     )
     if args.csv:
         write_csv(args.csv, rows)

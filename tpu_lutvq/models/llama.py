@@ -436,10 +436,17 @@ def llama_forward(
     axis_size: Optional[int] = None,
     variant: str = "auto",
     quality: str = "exact",
-    logits_mode: str = "all",  # "all" | "last": lm_head over every position
-    # or only the final one.  Prefill only needs the last token's logits;
-    # "all" materializes (B, T, vocab) f32 — 4.2 GB at B=8 T=4096, which
-    # OOM'd the long-context prefill demo before this knob existed.
+    logits_mode: str = "all",  # "all" | "last" | "index": lm_head over every
+    # position, only the final one, or one per-sequence position
+    # (``logits_idx``).  Prefill only needs the last token's logits; "all"
+    # materializes (B, T, vocab) f32 — 4.2 GB at B=8 T=4096, which OOM'd the
+    # long-context prefill demo before this knob existed.  "index" is the
+    # RAGGED admission-wave form: prompts right-padded to a shared bucket
+    # each read their own last *real* position (padding affects nothing
+    # upstream — causal attention means a real token never attends a later
+    # pad, and pad rows' KV is masked/overwritten before any query can
+    # reach it).
+    logits_idx: Optional[jax.Array] = None,  # (B,) int32, logits_mode="index"
 ):
     """Forward pass over T new tokens at absolute position(s) ``pos``.
 
@@ -540,6 +547,11 @@ def llama_forward(
         new_caches = tuple(new_caches)
     if logits_mode == "last":
         x = x[:, -1:]
+    elif logits_mode == "index":
+        # one hidden row per sequence at its own last real position (B, 1, D)
+        x = jnp.take_along_axis(
+            x, jnp.asarray(logits_idx, jnp.int32)[:, None, None], axis=1
+        )
     x = rms_norm(x, weights.final_norm, cfg.rms_eps)
     logits = weights.lm_head(x).astype(jnp.float32)
     return logits, new_caches

@@ -142,16 +142,32 @@ class PagedKVCache(NamedTuple):
             v_scale=put3(self.v_scale, small.v_scale),
         )
 
-    def write_slots(self, small: KVCache, slots: jax.Array, t: int) -> "PagedKVCache":
+    def write_slots(
+        self,
+        small: KVCache,
+        slots: jax.Array,
+        t: int,
+        t0s: jax.Array | None = None,
+    ) -> "PagedKVCache":
         """Batched admission WAVE: copy the first ``t`` rows of a B=k slab
-        cache (one wave's equal-length prefills) into slots ``slots`` (k,)
-        in ONE scatter — k :meth:`write_slot` calls fused (the slot tables
-        must already point at each slot's blocks)."""
+        cache (one wave's prefills) into slots ``slots`` (k,) in ONE scatter
+        — k :meth:`write_slot` calls fused (the slot tables must already
+        point at each slot's blocks).
+
+        ``t0s`` (k,) enables RAGGED waves: prompts right-padded to the
+        shared bucket ``t`` write only their own first ``t0s[j]`` real rows
+        — pad rows are redirected to the reserved junk block 0 so they can
+        never land past a short request's allocated blocks (a pad row at
+        bucket depth may exceed ``ceil((t0+max_new)/BS)+1`` blocks; writing
+        it through the table would corrupt a NEIGHBOR's pool block)."""
         bs = self.block_size
         slots = jnp.asarray(slots, jnp.int32)
         k = slots.shape[0]
         rows = jnp.arange(t)
         blk = self.block_tables[slots][:, rows // bs]  # (k, t)
+        if t0s is not None:
+            valid = rows[None, :] < jnp.asarray(t0s, jnp.int32)[:, None]
+            blk = jnp.where(valid, blk, 0)  # pads → junk block 0
         off = rows % bs  # (t,)
         h = self.k_pool.shape[1]
         bi = blk.reshape(-1)[:, None]  # (k*t, 1)

@@ -276,27 +276,33 @@ class ContinuousBatcher:
             )
 
             def admit_wave_paged(weights, prompts, caches, slots, table_rows,
-                                 temps, key, t0):
-                # one admission WAVE: k equal-length prompts prefill as ONE
-                # B=k dispatch, tables + pool rows + first tokens all set in
-                # the same program (k per-request admissions cost k
-                # dispatches; through the ~35 ms tunnel the wave costs one)
-                k = prompts.shape[0]
+                                 last_idx, t0s, temps, key):
+                # one admission WAVE: k pending prompts (RAGGED — right-
+                # padded to a shared bucket) prefill as ONE B=k dispatch,
+                # tables + pool rows + first tokens all set in the same
+                # program (k per-request admissions cost k dispatches;
+                # through the ~35 ms tunnel the wave costs one).  Each
+                # request samples from its own last REAL position
+                # (logits_mode="index") and writes only its own t0s[j] real
+                # rows (pad rows land in the junk block — see
+                # PagedKVCache.write_slots).
+                k, bucket = prompts.shape
                 small = init_caches(cfg, k)
                 logits, small = raw_prefill(
-                    weights, prompts, small, jnp.int32(0), logits_mode="last"
+                    weights, prompts, small, jnp.int32(0),
+                    logits_mode="index", logits_idx=last_idx,
                 )
                 new = []
                 for pc, sc in zip(caches, small):
                     pc = pc._replace(
                         block_tables=pc.block_tables.at[slots].set(table_rows)
                     )
-                    new.append(pc.write_slots(sc, slots, t0))
-                toks = sample_logits_vec(logits[:, -1], key, temps)
+                    new.append(pc.write_slots(sc, slots, bucket, t0s=t0s))
+                toks = sample_logits_vec(logits[:, 0], key, temps)
                 return toks, tuple(new)
 
             self._admit_wave_paged = jax.jit(
-                admit_wave_paged, donate_argnums=(2,), static_argnames=("t0",)
+                admit_wave_paged, donate_argnums=(2,)
             )
         elif self.paged:
             # injected (TP) programs: prefill runs separately; this writes the
@@ -322,16 +328,22 @@ class ContinuousBatcher:
             )
 
             def write_paged_sample_tp_wave(caches, small, slots, table_rows,
-                                           logits, temps, key, t0):
+                                           logits, last_idx, t0s, temps, key,
+                                           t0):
                 # wave form: the injected prefill is batch-generic, so one
-                # B=k TP prefill + this one dispatch admit k requests
+                # B=k TP prefill (padded to the bucket ``t0``) + this one
+                # dispatch admit k RAGGED requests; ``logits`` is the
+                # prefill's full (k, T, vocab) output — each request's row
+                # is gathered at its own last real position here
+                k = slots.shape[0]
                 new = []
                 for pc, sc in zip(caches, small):
                     pc = pc._replace(
                         block_tables=pc.block_tables.at[slots].set(table_rows)
                     )
-                    new.append(pc.write_slots(sc, slots, t0))
-                toks = sample_logits_vec(logits, key, temps)
+                    new.append(pc.write_slots(sc, slots, t0, t0s=t0s))
+                own = logits[jnp.arange(k), last_idx]
+                toks = sample_logits_vec(own, key, temps)
                 return toks, tuple(new)
 
             self._write_paged_sample_tp_wave = jax.jit(
@@ -355,14 +367,21 @@ class ContinuousBatcher:
 
             self._admit_fused = jax.jit(admit_one_stacked, donate_argnums=(2,))
 
-            def admit_wave_stacked(weights, prompts, caches, slots, temps, key):
+            def admit_wave_stacked(weights, prompts, caches, slots, last_idx,
+                                   temps, key):
+                # RAGGED wave (see admit_wave_paged): padded B=k prefill,
+                # per-request last-position logits.  Slab/stacked slots are
+                # private rows, so pad rows are simply written and then
+                # masked (causal, kpos ≤ qpos) until the sequence's own
+                # appends overwrite them — no junk-block redirection needed.
                 k = prompts.shape[0]
                 small = init_stacked_caches(cfg, k)
                 logits, small = raw_prefill(
-                    weights, prompts, small, jnp.int32(0), logits_mode="last"
+                    weights, prompts, small, jnp.int32(0),
+                    logits_mode="index", logits_idx=last_idx,
                 )
                 caches = write_cache_slots_stacked(caches, small, slots)
-                toks = sample_logits_vec(logits[:, -1], key, temps)
+                toks = sample_logits_vec(logits[:, 0], key, temps)
                 return toks, caches
 
             self._admit_wave = jax.jit(admit_wave_stacked, donate_argnums=(2,))
@@ -384,19 +403,22 @@ class ContinuousBatcher:
 
             self._admit_fused = jax.jit(admit_one, donate_argnums=(2,))
 
-            def admit_wave(weights, prompts, caches, slots, temps, key):
-                # one admission WAVE (see admit_wave_paged): B=k prefill +
-                # k-slot scatter + k first tokens in ONE dispatch
+            def admit_wave(weights, prompts, caches, slots, last_idx, temps,
+                           key):
+                # one RAGGED admission WAVE (see admit_wave_paged): padded
+                # B=k prefill + k-slot scatter + k per-request first tokens
+                # in ONE dispatch
                 k = prompts.shape[0]
                 small = init_caches(cfg, k)
                 logits, small = raw_prefill(
-                    weights, prompts, small, jnp.int32(0), logits_mode="last"
+                    weights, prompts, small, jnp.int32(0),
+                    logits_mode="index", logits_idx=last_idx,
                 )
                 caches = tuple(
                     write_cache_slots(big, s, slots)
                     for big, s in zip(caches, small)
                 )
-                toks = sample_logits_vec(logits[:, -1], key, temps)
+                toks = sample_logits_vec(logits[:, 0], key, temps)
                 return toks, caches
 
             self._admit_wave = jax.jit(admit_wave, donate_argnums=(2,))
@@ -419,13 +441,18 @@ class ContinuousBatcher:
                 write_slab_sample, donate_argnums=(0,)
             )
 
-            def write_slab_sample_wave(caches, small, slots, logits, temps,
-                                       key):
+            def write_slab_sample_wave(caches, small, slots, logits, last_idx,
+                                       temps, key):
+                # ``logits`` is the injected prefill's full (k, T, vocab)
+                # output over the padded bucket; gather each request's own
+                # last real position (RAGGED wave)
+                k = slots.shape[0]
                 caches = tuple(
                     write_cache_slots(big, s, slots)
                     for big, s in zip(caches, small)
                 )
-                toks = sample_logits_vec(logits, key, temps)
+                own = logits[jnp.arange(k), last_idx]
+                toks = sample_logits_vec(own, key, temps)
                 return toks, caches
 
             self._write_slab_sample_wave = jax.jit(
@@ -672,22 +699,33 @@ class ContinuousBatcher:
         return deferred
 
     def _admit_wave_fifo(self):
-        """Batched admission wave.
+        """Batched RAGGED admission wave.
 
-        Take the maximal FIFO prefix of ``pending`` whose requests share one
-        prompt length and are wave-eligible (short enough for the fused
-        prefill; paged: pool blocks available), capped at the number of free
-        slots; if that prefix has ≥ 2 requests, admit them ALL as one B=k
-        prefill dispatch (``admit_wave`` / ``admit_wave_paged``; injected
-        (TP) programs run their batch-generic prefill at B=k followed by
-        one write+sample wave dispatch) — k
+        Take the maximal FIFO prefix of ``pending`` that is wave-eligible
+        (short enough for the fused prefill; paged: pool blocks available),
+        capped at the number of free slots; if that prefix has ≥ 2 requests,
+        admit them ALL as one B=k prefill dispatch (``admit_wave`` /
+        ``admit_wave_paged``; injected (TP) programs run their batch-generic
+        prefill at B=k followed by one write+sample wave dispatch) — k
         per-request admissions cost k dispatches, the dominant residual
         scheduler overhead through the ~35 ms tunnel once decode ticks are
         pipelined (artifacts/batcher_r05.txt: 16 admissions per run).
-        Stopping at the first length mismatch preserves strict FIFO order —
-        a later same-length request is never admitted past an earlier
-        different-length one (that one falls through to the per-request
-        loop in :meth:`_admit` this same tick)."""
+
+        Prompt lengths may DIFFER (the realistic-traffic case — the r5a
+        wave required equal lengths, which real request streams almost never
+        satisfy): prompts are right-padded to a power-of-two bucket over the
+        wave's longest prompt, each request samples its first token from its
+        own last real position (llama_forward ``logits_mode="index"``), and
+        pad rows are harmless — slab/stacked slots own their rows (pads stay
+        causally masked until overwritten by the sequence's own appends);
+        the paged writer redirects pads to the junk block so they cannot
+        cross into a neighbor's blocks.  Bucketing also bounds the compiled
+        program set at (k, log2 buckets) — the equal-length wave compiled
+        one program per distinct prompt length.  Stopping the prefix at the
+        first chunked-length prompt preserves strict FIFO order — a later
+        short request is never admitted past an earlier long one (that one
+        falls through to the per-request loop in :meth:`_admit` this same
+        tick)."""
         if self.paged:
             have_wave = (
                 self._admit_wave_paged is not None
@@ -703,13 +741,13 @@ class ContinuousBatcher:
         free = [i for i, r in enumerate(self.active) if r is None]
         if len(free) < 2:
             return []
-        t0 = len(self.pending[0].prompt)
-        if self._chunked_prefill is not None and t0 > self._prefill_chunk:
-            return []  # long prompts keep the per-request chunked admission
         k = 0
         for req in self.pending[: len(free)]:
-            if len(req.prompt) != t0:
-                break
+            if (
+                self._chunked_prefill is not None
+                and len(req.prompt) > self._prefill_chunk
+            ):
+                break  # long prompts keep the per-request chunked admission
             k += 1
         if k < 2:
             return []
@@ -721,7 +759,7 @@ class ContinuousBatcher:
             admitted_blocks = []
             for req in self.pending[:k]:
                 need = min(
-                    -(-(t0 + req.max_new_tokens) // self._bs) + 1,
+                    -(-(len(req.prompt) + req.max_new_tokens) // self._bs) + 1,
                     self._max_blocks,
                 )
                 if need > len(self._alloc.free):
@@ -737,7 +775,20 @@ class ContinuousBatcher:
                 table_rows[j, : len(blocks)] = blocks
         reqs = [self.pending.pop(0) for _ in range(k)]
         slots = free[:k]
-        prompts = jnp.asarray([r.prompt for r in reqs], jnp.int32)
+        # right-pad to the wave's power-of-two length bucket (pad id 0 —
+        # never read: each request's logits come from its own last real
+        # position and pad KV rows are masked/junk-routed, see docstring)
+        t_max = max(len(r.prompt) for r in reqs)
+        bucket = 8
+        while bucket < t_max:
+            bucket *= 2
+        bucket = min(bucket, self.cfg.max_seq)
+        prompts_np = np.zeros((k, bucket), np.int32)
+        for j, r in enumerate(reqs):
+            prompts_np[j, : len(r.prompt)] = r.prompt
+        prompts = jnp.asarray(prompts_np)
+        last_idx = jnp.asarray([len(r.prompt) - 1 for r in reqs], jnp.int32)
+        t0s = jnp.asarray([len(r.prompt) for r in reqs], jnp.int32)
         temps = jnp.asarray([r.temperature for r in reqs], jnp.float32)
         self.key, sub = jax.random.split(self.key)
         if self.paged:
@@ -748,7 +799,7 @@ class ContinuousBatcher:
                 toks, self.caches = self._admit_wave_paged(
                     self.weights, prompts, self.caches,
                     jnp.asarray(slots, jnp.int32), jnp.asarray(table_rows),
-                    temps, sub, t0=t0,
+                    last_idx, t0s, temps, sub,
                 )
             else:  # injected (TP): B=k prefill, then one write+sample wave
                 small = self._cache_factory(self.cfg, k)
@@ -757,12 +808,13 @@ class ContinuousBatcher:
                 )
                 toks, self.caches = self._write_paged_sample_tp_wave(
                     self.caches, small, jnp.asarray(slots, jnp.int32),
-                    jnp.asarray(table_rows), logits[:, -1], temps, sub, t0=t0,
+                    jnp.asarray(table_rows), logits, last_idx, t0s, temps,
+                    sub, t0=bucket,
                 )
         elif self._admit_wave is not None:
             toks, self.caches = self._admit_wave(
                 self.weights, prompts, self.caches,
-                jnp.asarray(slots, jnp.int32), temps, sub,
+                jnp.asarray(slots, jnp.int32), last_idx, temps, sub,
             )
         else:  # injected (TP) slab: B=k prefill, then one write+sample wave
             small = self._cache_factory(self.cfg, k)
@@ -771,11 +823,11 @@ class ContinuousBatcher:
             )
             toks, self.caches = self._write_slab_sample_wave(
                 self.caches, small, jnp.asarray(slots, jnp.int32),
-                logits[:, -1], temps, sub,
+                logits, last_idx, temps, sub,
             )
         for slot, req in zip(slots, reqs):
             self.active[slot] = req
-            self.slot_pos[slot] = t0 + 1
+            self.slot_pos[slot] = len(req.prompt) + 1
         self.wave_admits += k
         return [(slots, reqs, toks)]
 

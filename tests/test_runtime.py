@@ -320,6 +320,26 @@ def test_batcher_pipelined_eos(tiny):
     assert len(by_id[1]) == 2
 
 
+@pytest.mark.parametrize("stacked", [False, True])
+def test_generate_ragged_batch_matches_singles(tiny, stacked):
+    """generate() with a ragged prompt batch (list of unequal-length token
+    lists) must reproduce each sequence's B=1 greedy generation exactly,
+    with left-aligned output rows and per-row lengths."""
+    cfg, weights = tiny
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8, 9], [7, 8]]
+    mn = 4
+    r = generate(cfg, weights, prompts, max_new_tokens=mn,
+                 stacked_kv=stacked, **STRAT)
+    assert r.tokens.shape == (3, max(len(p) for p in prompts) + mn)
+    for i, p in enumerate(prompts):
+        single = generate(cfg, weights, jnp.asarray([p], jnp.int32),
+                          max_new_tokens=mn, stacked_kv=stacked, **STRAT)
+        assert int(r.lengths[i]) == len(p) + mn
+        got = np.asarray(r.tokens[i, : len(p) + mn]).tolist()
+        want = np.asarray(single.tokens[0]).tolist()
+        assert got == want, f"row {i}: {got} != {want}"
+
+
 def test_generate_stacked_kv_matches_tuple(tiny):
     """generate(stacked_kv=True) (hybrid cache container) must produce the
     same greedy tokens as the tuple-cache path."""

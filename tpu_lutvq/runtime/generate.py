@@ -215,7 +215,7 @@ def sample_logits_vec(
 def generate(
     cfg: LlamaConfig,
     weights: LlamaWeights,
-    prompt: jax.Array,  # (B, T0) int32
+    prompt,  # (B, T0) int32 array, or a list of per-sequence token lists
     max_new_tokens: int,
     *,
     temperature: float = 0.0,
@@ -229,15 +229,51 @@ def generate(
 ) -> GenerationResult:
     """Prefill the prompt, then decode ``max_new_tokens`` greedily/sampled.
 
+    ``prompt`` may be a RAGGED batch — a list of unequal-length token
+    lists.  Prompts are right-padded to a shared power-of-two bucket for
+    ONE batched prefill; each sequence's first token comes from its own
+    last real position (llama_forward ``logits_mode="index"``) and decode
+    runs at per-sequence positions, so every row reproduces its B=1
+    generation exactly (pad rows stay causally masked until overwritten by
+    the row's own appends — the same mechanism as the batcher's ragged
+    admission waves, batching.py).  Output rows are left-aligned:
+    ``tokens[i]`` holds prompt_i then its generated tokens, then padding;
+    ``lengths[i]`` marks the valid prefix.
+
     ``stacked_kv=True`` serves the hybrid cache container (one stacked
     (L, ...) cache, per-layer weight buffers): flash decode reads the int8
     planes in place — +14% at B=1 7B long context
     (artifacts/longctx_hybrid_r05.txt; keep stacked leaves < ~2 GiB)."""
-    b, t0 = prompt.shape
-    if t0 + max_new_tokens > cfg.max_seq:
-        raise ValueError(
-            f"prompt({t0}) + max_new({max_new_tokens}) exceeds max_seq={cfg.max_seq}"
-        )
+    ragged = isinstance(prompt, (list, tuple))
+    if ragged:
+        lens = [len(p) for p in prompt]
+        b, t_max = len(prompt), max(lens)
+        if t_max + max_new_tokens > cfg.max_seq:
+            raise ValueError(
+                f"longest prompt({t_max}) + max_new({max_new_tokens}) "
+                f"exceeds max_seq={cfg.max_seq}"
+            )
+        bucket = 8
+        while bucket < t_max:
+            bucket *= 2
+        bucket = min(bucket, cfg.max_seq)
+        padded = jnp.zeros((b, bucket), jnp.int32)
+        for i, p in enumerate(lens):
+            padded = padded.at[i, :p].set(jnp.asarray(prompt[i], jnp.int32))
+        prompt_arr = padded
+        t0s = jnp.asarray(lens, jnp.int32)
+        if len(set(lens)) == 1 and lens[0] == bucket:
+            ragged = False  # equal lengths on the bucket: plain path
+            t0 = lens[0]
+    else:
+        prompt_arr = prompt
+        b, t0 = prompt.shape
+        lens = [t0] * b
+        if t0 + max_new_tokens > cfg.max_seq:
+            raise ValueError(
+                f"prompt({t0}) + max_new({max_new_tokens}) exceeds "
+                f"max_seq={cfg.max_seq}"
+            )
     key = key if key is not None else jax.random.PRNGKey(0)
     if stacked_kv:
         from tpu_lutvq.models.llama import init_stacked_caches
@@ -253,27 +289,40 @@ def generate(
         llama_decode_step, cfg, strategy=strategy, interpret=interpret
     )
     if jit:
-        prefill = jax.jit(prefill, static_argnames=("window",))
+        prefill = jax.jit(prefill, static_argnames=("window", "logits_mode"))
         step = jax.jit(step, static_argnames=("window",))
 
-    logits, caches = prefill(
-        weights, prompt, caches, jnp.int32(0),
-        window=bucket_window(t0, cfg.max_seq),
-    )
+    if ragged:
+        t_hi = max(lens)  # window/horizon bookkeeping tracks the longest row
+        logits, caches = prefill(
+            weights, prompt_arr, caches, jnp.int32(0),
+            window=bucket_window(prompt_arr.shape[1], cfg.max_seq),
+            logits_mode="index", logits_idx=t0s - 1,
+        )
+        first = logits[:, 0]
+    else:
+        t_hi = t0
+        t0s = jnp.full((b,), t0, jnp.int32)
+        logits, caches = prefill(
+            weights, prompt_arr, caches, jnp.int32(0),
+            window=bucket_window(t0, cfg.max_seq),
+        )
+        first = logits[:, -1]
     key, sub = jax.random.split(key)
-    next_tok = sample_logits(logits[:, -1], sub, temperature, top_k)
+    next_tok = sample_logits(first, sub, temperature, top_k)
 
     out = [next_tok]
     done = jnp.zeros((b,), jnp.bool_)
-    lengths = jnp.full((b,), t0 + 1, jnp.int32)
+    lengths = t0s + 1
     for i in range(1, max_new_tokens):
         if eos_id is not None:
             done = done | (next_tok == eos_id)
             if bool(jnp.all(done)):
                 break
+        pos = t0s + (i - 1) if ragged else jnp.int32(t0 + i - 1)
         logits, caches = step(
-            weights, next_tok, caches, jnp.int32(t0 + i - 1),
-            window=bucket_window(t0 + i, cfg.max_seq),
+            weights, next_tok, caches, pos,
+            window=bucket_window(t_hi + i, cfg.max_seq),
         )
         key, sub = jax.random.split(key)
         next_tok = sample_logits(logits, sub, temperature, top_k)
@@ -286,5 +335,15 @@ def generate(
         # (``lengths`` already marks the valid prefix per row)
         pad_tok = out[-1] if eos_id is None else jnp.full_like(out[-1], eos_id)
         out.extend([pad_tok] * (max_new_tokens - len(out)))
-    tokens = jnp.concatenate([prompt, jnp.stack(out, axis=1)], axis=1)
+    gen = jnp.stack(out, axis=1)  # (B, max_new)
+    if ragged:
+        # left-align: row i = prompt_i ++ generated_i ++ pad
+        width = t_hi + max_new_tokens
+        tokens = jnp.zeros((b, width), jnp.int32)
+        tokens = tokens.at[:, :t_hi].set(prompt_arr[:, :t_hi])
+        cols = t0s[:, None] + jnp.arange(max_new_tokens)[None, :]
+        tokens = tokens.at[jnp.arange(b)[:, None], cols].set(gen)
+        tokens = tokens[:, :width]
+    else:
+        tokens = jnp.concatenate([prompt_arr, gen], axis=1)
     return GenerationResult(tokens=tokens, lengths=lengths)

@@ -242,8 +242,9 @@ class ContinuousBatcher:
         # ~n_layers x 35 ms of tunnel RTT per admission.
         self._admit_fused = None
         self._admit_paged = None
-        # batched admission wave: k pending equal-length prompts admit as
-        # ONE B=k prefill dispatch (fused for default programs; injected TP
+        # batched RAGGED admission wave: k pending prompts (lengths may
+        # differ — right-padded to a shared bucket) admit as ONE B=k
+        # prefill dispatch (fused for default programs; injected TP
         # programs prefill at B=k then one write+sample wave dispatch)
         self._admit_wave = None
         self._admit_wave_paged = None

@@ -457,3 +457,42 @@ def test_batcher_wave_admission_pipelined(tiny):
         assert batcher.wave_admits >= 3
         outs[pipeline] = {r.req_id: r.output for r in done}
     assert outs[False] == outs[True], (outs[False], outs[True])
+
+
+def test_top_p_nucleus_filter():
+    """Nucleus sampling: tokens outside the smallest set whose cumulative
+    probability reaches top_p are never drawn; the top-1 token always
+    survives even at tiny top_p; greedy rows are unaffected."""
+    from tpu_lutvq.runtime.generate import sample_logits, sample_logits_vec
+
+    # probs ≈ [0.639, 0.235, 0.086, 0.032, 0.008] → top_p=0.6 keeps only
+    # token 0; top_p=0.7 keeps {0, 1}
+    logits = jnp.log(jnp.asarray([[0.639, 0.235, 0.086, 0.032, 0.008]]))
+    draws_06, draws_07 = set(), set()
+    for s in range(64):
+        key = jax.random.PRNGKey(s)
+        draws_06.add(int(sample_logits(logits, key, 1.0, top_p=0.6)[0]))
+        draws_07.add(int(sample_logits(logits, key, 1.0, top_p=0.7)[0]))
+    assert draws_06 == {0}
+    assert draws_07 <= {0, 1} and 1 in draws_07
+    # tiny top_p degenerates to greedy (top-1 always kept)
+    assert int(sample_logits(logits, jax.random.PRNGKey(3), 1.0,
+                             top_p=1e-6)[0]) == 0
+    # vec form: greedy row (temp 0) ignores the filter, sampled row obeys it
+    two = jnp.concatenate([logits, logits])
+    temps = jnp.asarray([0.0, 1.0])
+    for s in range(32):
+        toks = sample_logits_vec(two, jax.random.PRNGKey(s), temps, top_p=0.6)
+        assert int(toks[0]) == 0 and int(toks[1]) == 0
+
+
+def test_generate_top_p_runs(tiny):
+    """generate(top_p=...) end-to-end: valid tokens, deterministic per key."""
+    cfg, weights = tiny
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    r1 = generate(cfg, weights, prompt, max_new_tokens=3, temperature=0.8,
+                  top_p=0.9, key=jax.random.PRNGKey(5), **STRAT)
+    r2 = generate(cfg, weights, prompt, max_new_tokens=3, temperature=0.8,
+                  top_p=0.9, key=jax.random.PRNGKey(5), **STRAT)
+    assert jnp.array_equal(r1.tokens, r2.tokens)
+    assert int(r1.tokens.max()) < cfg.vocab_size

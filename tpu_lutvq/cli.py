@@ -49,7 +49,7 @@ def cmd_generate(args) -> None:
     prompt = jnp.asarray([ids], jnp.int32)
     res = generate(
         cfg, weights, prompt, max_new_tokens=args.max_new_tokens,
-        temperature=args.temperature, top_k=args.top_k,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         key=jax.random.PRNGKey(args.seed), stacked_kv=args.stacked_kv,
     )
     out = np.asarray(res.tokens)[0, len(ids):].tolist()
@@ -92,6 +92,8 @@ def main(argv=None) -> None:
     g.add_argument("--max-new-tokens", type=int, default=32)
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=0.0,
+                   help="nucleus sampling mass in (0, 1); 0 disables")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--stacked-kv", action="store_true",
                    help="hybrid cache container: in-place flash plane "

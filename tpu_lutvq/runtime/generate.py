@@ -181,33 +181,64 @@ def make_fused_chunked_prefill(
     return prefill
 
 
+def _top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filter: mask tokens outside the smallest set whose
+    cumulative probability reaches ``top_p`` (the top-1 token is always
+    kept).  Static-shape, sort-based — jit/TPU-friendly (no data-dependent
+    control flow)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    desc = jnp.sort(probs, axis=-1)[..., ::-1]
+    csum = jnp.cumsum(desc, axis=-1)
+    # keep a token iff the cumulative mass STRICTLY BEFORE it is < top_p
+    keep = (csum - desc) < top_p
+    thresh = jnp.min(
+        jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(probs >= thresh, logits, -jnp.inf)
+
+
 def sample_logits(
-    logits: jax.Array, key: jax.Array, temperature: float = 0.0, top_k: int = 0
+    logits: jax.Array,
+    key: jax.Array,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
 ) -> jax.Array:
-    """(B, vocab) → (B,) sampled token ids.  temperature 0 = greedy."""
+    """(B, vocab) → (B,) sampled token ids.  temperature 0 = greedy;
+    ``top_k`` / ``top_p`` (nucleus, active in (0, 1)) filters compose —
+    top-k first, then the nucleus over what survives."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     if top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if 0.0 < top_p < 1.0:
+        logits = _top_p_filter(logits, top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 def sample_logits_vec(
-    logits: jax.Array, key: jax.Array, temps: jax.Array, top_k: int = 0
+    logits: jax.Array,
+    key: jax.Array,
+    temps: jax.Array,
+    top_k: int = 0,
+    top_p: float = 0.0,
 ) -> jax.Array:
     """(B, vocab) + per-row temperatures (B,) → (B,) token ids.
 
     Rows with ``temps <= 0`` decode greedily; the rest sample categorically
     at their own temperature — one fused device program for a whole slot
     pool (the per-slot host round-trips this replaces cost ~35 ms each
-    through the tunnel, per batcher step)."""
+    through the tunnel, per batcher step).  ``top_k``/``top_p`` filter the
+    sampled rows (greedy rows are unaffected by construction)."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
     if top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if 0.0 < top_p < 1.0:
+        scaled = _top_p_filter(scaled, top_p)
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temps <= 0.0, greedy, sampled)
 
@@ -220,6 +251,7 @@ def generate(
     *,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 0.0,
     eos_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     strategy: str = "auto",
@@ -309,7 +341,7 @@ def generate(
         )
         first = logits[:, -1]
     key, sub = jax.random.split(key)
-    next_tok = sample_logits(first, sub, temperature, top_k)
+    next_tok = sample_logits(first, sub, temperature, top_k, top_p)
 
     out = [next_tok]
     done = jnp.zeros((b,), jnp.bool_)
@@ -325,7 +357,7 @@ def generate(
             window=bucket_window(t_hi + i, cfg.max_seq),
         )
         key, sub = jax.random.split(key)
-        next_tok = sample_logits(logits, sub, temperature, top_k)
+        next_tok = sample_logits(logits, sub, temperature, top_k, top_p)
         if eos_id is not None:
             next_tok = jnp.where(done, eos_id, next_tok)
         lengths = lengths + (~done).astype(jnp.int32)
